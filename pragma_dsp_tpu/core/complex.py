@@ -1,0 +1,97 @@
+"""Split real/imag complex representation — the core data type of the framework.
+
+The reference (pragma-dsp) represents complex vectors as split typed arrays
+``{real: Float64Array, imag: Float64Array}`` (reference src/core/fft.ts:1-14).
+That layout happens to be the TPU-native choice as well: Pallas/Mosaic has no
+complex dtype, and split planes map cleanly onto (8, 128) vector-register
+tiles, so we keep it — as an immutable JAX pytree instead of a mutable struct.
+
+Unlike the reference, every array here may carry arbitrary leading batch
+dimensions; the complex-element axis is always the last one. Batch-first is
+where TPU throughput comes from: per-frame loops in the reference become a
+batch dimension here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+RealLike = Union[Array, np.ndarray, list, tuple]
+
+
+class ComplexArray(NamedTuple):
+    """Split-plane complex array pytree (``real`` and ``imag`` same shape).
+
+    Mirrors the reference's ``ComplexArray`` (src/core/fft.ts:1-4) but is an
+    immutable pytree: ops return new values, never mutate.
+    """
+
+    real: Array
+    imag: Array
+
+    @property
+    def shape(self):
+        return self.real.shape
+
+    @property
+    def dtype(self):
+        return self.real.dtype
+
+    def __len__(self) -> int:
+        return self.real.shape[-1]
+
+    def to_numpy_complex(self) -> np.ndarray:
+        """Materialise as a numpy complex ndarray (host transfer)."""
+        return np.asarray(self.real) + 1j * np.asarray(self.imag)
+
+    @staticmethod
+    def from_numpy_complex(x: np.ndarray, dtype=None) -> "ComplexArray":
+        x = np.asarray(x)
+        re = jnp.asarray(x.real, dtype=dtype)
+        im = jnp.asarray(x.imag, dtype=dtype)
+        return ComplexArray(re, im)
+
+
+def create_complex_array(size, fill: float = 0.0, dtype=jnp.float32) -> ComplexArray:
+    """Allocate a complex array of ``size`` (int or shape tuple), optionally filled.
+
+    Parity: ``createComplexArray`` (reference src/core/fft.ts:6-14).
+    """
+    shape = (size,) if isinstance(size, int) else tuple(size)
+    if fill == 0.0:
+        z = jnp.zeros(shape, dtype=dtype)
+        return ComplexArray(z, z)
+    f = jnp.full(shape, fill, dtype=dtype)
+    return ComplexArray(f, f)
+
+
+def as_complex_array(x, dtype=None) -> ComplexArray:
+    """Coerce real input / (re, im) pair / ComplexArray into a ComplexArray."""
+    if isinstance(x, ComplexArray):
+        return x
+    if isinstance(x, tuple) and len(x) == 2 and not isinstance(x[0], (int, float)):
+        return ComplexArray(jnp.asarray(x[0], dtype=dtype), jnp.asarray(x[1], dtype=dtype))
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        return ComplexArray.from_numpy_complex(x, dtype=dtype)
+    re = jnp.asarray(x, dtype=dtype)
+    return ComplexArray(re, jnp.zeros_like(re))
+
+
+def is_power_of_two(n: int) -> bool:
+    """Parity: ``isPowerOfTwo`` (reference src/core/fft.ts:16)."""
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def next_power_of_two(n: int) -> int:
+    """Parity: ``nextPowerOfTwo`` (reference src/core/fft.ts:18-23)."""
+    if n <= 1:
+        return 1
+    p = 1
+    while p < n:
+        p <<= 1
+    return p

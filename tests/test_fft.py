@@ -1,0 +1,83 @@
+"""FFT unit tests vs NumPy goldens (reference test/fft.test.ts:18-43)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pragma_dsp_tpu.core import ComplexArray, Radix2Fft, fft, ifft
+from pragma_dsp_tpu.utils.fixtures import assert_close
+
+
+def _cases(unit_fixtures, kind=None):
+    for c in unit_fixtures["fftCases"]:
+        if kind is None or c["kind"] == kind:
+            yield c
+
+
+def test_forward_matches_numpy(unit_fixtures):
+    for c in _cases(unit_fixtures, "random_normal"):
+        x = jnp.asarray(c["input"], dtype=jnp.float64)
+        out = fft(x)
+        assert_close(c["fftRe"], np.asarray(out.real), abs_tol=1e-6,
+                     label=f"{c['name']} re")
+        assert_close(c["fftIm"], np.asarray(out.imag), abs_tol=1e-6,
+                     label=f"{c['name']} im")
+
+
+def test_roundtrip(unit_fixtures):
+    for c in _cases(unit_fixtures, "random_normal"):
+        x = jnp.asarray(c["input"], dtype=jnp.float64)
+        rt = ifft(fft(x))
+        assert_close(c["input"], np.asarray(rt.real), abs_tol=1e-6,
+                     label=f"{c['name']} rt re")
+        assert_close(np.zeros(c["n"]), np.asarray(rt.imag), abs_tol=1e-6,
+                     label=f"{c['name']} rt im")
+
+
+def test_plan_class_validates():
+    with pytest.raises(ValueError):
+        Radix2Fft(12)
+    plan = Radix2Fft(16)
+    with pytest.raises(ValueError):
+        plan.forward(jnp.zeros(8))
+
+
+def test_plan_forward_inverse(unit_fixtures):
+    for c in _cases(unit_fixtures, "random_normal"):
+        plan = Radix2Fft(c["n"])
+        out = plan.forward(jnp.asarray(c["input"], dtype=jnp.float64))
+        assert_close(c["fftRe"], np.asarray(out.real), abs_tol=1e-6)
+        rt = plan.inverse(out)
+        assert_close(c["input"], np.asarray(rt.real), abs_tol=1e-6)
+
+
+def test_forward_complex_matches_numpy():
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+    out = fft(ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ref = np.fft.fft(z)
+    assert_close(ref.real, np.asarray(out.real), abs_tol=1e-10)
+    assert_close(ref.imag, np.asarray(out.imag), abs_tol=1e-10)
+
+
+def test_batched_fft_matches_numpy():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((3, 5, 128))
+    out = fft(jnp.asarray(x))
+    ref = np.fft.fft(x, axis=-1)
+    assert_close(ref.real, np.asarray(out.real), abs_tol=1e-9)
+    assert_close(ref.imag, np.asarray(out.imag), abs_tol=1e-9)
+
+
+def test_fft_over_axis0():
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((64, 9))
+    out = fft(jnp.asarray(x), axis=0)
+    ref = np.fft.fft(x, axis=0)
+    assert_close(ref.real, np.asarray(out.real), abs_tol=1e-9)
+    assert_close(ref.imag, np.asarray(out.imag), abs_tol=1e-9)
+
+
+def test_non_power_of_two_raises():
+    with pytest.raises(ValueError):
+        fft(jnp.zeros(12))
