@@ -1,0 +1,27 @@
+"""Streaming rung — caching service, streaming spectra, batched STFT
+(the TPU-native analogue of the reference's Effect side ladder)."""
+
+from .service import FourierService, default_service, spectrum_fx, spectrum_stream
+from .stft import (
+    StftState,
+    frame_signal,
+    istft,
+    spectrogram,
+    stft,
+    stft_step,
+    stft_stream_init,
+)
+
+__all__ = [
+    "FourierService",
+    "default_service",
+    "spectrum_fx",
+    "spectrum_stream",
+    "StftState",
+    "frame_signal",
+    "istft",
+    "spectrogram",
+    "stft",
+    "stft_step",
+    "stft_stream_init",
+]

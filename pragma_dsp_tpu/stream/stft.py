@@ -1,0 +1,149 @@
+"""Batched STFT / spectrogram + jit-friendly chunked streaming state.
+
+This is the TPU-native replacement for the reference's per-frame
+``spectrumStream`` (src/effect/index.ts:190-194): instead of mapping an
+effectful function over a stream of frames, the signal is framed into a
+[frames, n_fft] batch and the whole spectrogram is one fused jitted
+computation (BASELINE.json config 2: 4096-pt FFT, 75% overlap).
+
+Streaming chunked input is supported with an explicit carry pytree
+(``StftState``) threaded through ``stft_step`` — the lax.scan-compatible
+formulation of overlap between chunk boundaries (SURVEY.md §5
+"checkpoint/resume": streaming state as explicit pytree).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.complex import Array, ComplexArray
+from ..core.fft import fft as _fft
+from ..public.spectrum import (
+    SpectrumResult,
+    find_peak,
+    scale_amplitude_one_sided,
+    scale_amplitude_two_sided,
+)
+from ..xform.fourier import bin_frequencies, create_window, magnitude, phase
+
+__all__ = ["frame_signal", "stft", "istft", "spectrogram", "StftState",
+           "stft_stream_init", "stft_step"]
+
+
+def frame_signal(x: Array, frame_size: int, hop: int) -> Array:
+    """Slice [..., L] into overlapping [..., F, frame_size] frames.
+
+    F = 1 + (L - frame_size) // hop; trailing samples that don't fill a
+    frame are dropped (streaming carries them instead, see stft_step).
+    """
+    x = jnp.asarray(x)
+    length = x.shape[-1]
+    if length < frame_size:
+        raise ValueError(f"signal length {length} < frame_size {frame_size}")
+    n_frames = 1 + (length - frame_size) // hop
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(frame_size)[None, :]
+    return x[..., idx]
+
+
+def stft(x: Array, n_fft: int, hop: Optional[int] = None,
+         window: str = "hann") -> ComplexArray:
+    """Short-time Fourier transform: [..., L] -> complex [..., F, n_fft].
+
+    Forward-unnormalised per frame (numpy convention), window applied
+    before the FFT. hop defaults to n_fft//4 (75% overlap, config 2).
+    """
+    hop = hop if hop is not None else n_fft // 4
+    frames = frame_signal(x, n_fft, hop)
+    win = create_window(window, n_fft, dtype=frames.dtype)
+    return _fft(frames * win)
+
+
+def istft(spec: ComplexArray, hop: int, window: str = "hann",
+          length: Optional[int] = None) -> Array:
+    """Overlap-add inverse STFT with window-square normalisation (WOLA).
+
+    Reconstructs a real signal from [..., F, n_fft] produced by
+    :func:`stft` with the same hop and window.
+    """
+    from ..core.fft import ifft as _ifft
+
+    n_fft = spec.real.shape[-1]
+    n_frames = spec.real.shape[-2]
+    frames = _ifft(spec).real
+    win = create_window(window, n_fft, dtype=frames.dtype)
+    frames = frames * win
+    out_len = (n_frames - 1) * hop + n_fft
+
+    # Scatter-add frames at hop offsets plus the matching window-energy
+    # normaliser. Static index arithmetic -> XLA scatter.
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape(batch_shape + (n_frames * n_fft,))
+    sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+    sig = sig.at[..., idx].add(flat)
+    wsq = jnp.zeros(out_len, dtype=frames.dtype)
+    wsq = wsq.at[idx].add(jnp.tile(win * win, n_frames))
+    sig = sig / jnp.maximum(wsq, jnp.finfo(frames.dtype).tiny)
+    if length is not None:
+        sig = sig[..., :length]
+    return sig
+
+
+def spectrogram(x: Array, n_fft: int, hop: Optional[int] = None,
+                window: str = "hann", sample_rate: float = 1.0,
+                sides: str = "one") -> SpectrumResult:
+    """Spectrum-per-frame with the exact beginner-rung scaling and peak
+    rules applied to every frame (batched spectrum over the frame axis)."""
+    spec = stft(x, n_fft, hop, window)
+    mags = magnitude(spec)
+    angs = phase(spec)
+    if sides == "one":
+        amplitude = scale_amplitude_one_sided(mags, n_fft)
+        phase_bins = angs[..., : n_fft // 2 + 1]
+    else:
+        amplitude = scale_amplitude_two_sided(mags, n_fft)
+        phase_bins = angs
+    freqs = bin_frequencies(n_fft, sample_rate, sides, dtype=amplitude.dtype)
+    peak = find_peak(amplitude, freqs)
+    peak_phase = jnp.take_along_axis(phase_bins, peak.index[..., None],
+                                     axis=-1)[..., 0]
+    peak = peak._replace(phase=peak_phase)
+    return SpectrumResult(frequencies=freqs, amplitude=amplitude,
+                          phase=phase_bins, peak=peak)
+
+
+class StftState(NamedTuple):
+    """Carry between streaming chunks: the last n_fft - hop input samples."""
+
+    tail: Array
+
+
+def stft_stream_init(n_fft: int, hop: int, batch_shape: Tuple[int, ...] = (),
+                     dtype=jnp.float32) -> StftState:
+    """Zero state. First emitted frames treat the signal as zero-padded
+    history, matching a cold stream start."""
+    return StftState(tail=jnp.zeros(batch_shape + (n_fft - hop,), dtype=dtype))
+
+
+def stft_step(state: StftState, chunk: Array, n_fft: int, hop: int,
+              window: str = "hann") -> Tuple[StftState, ComplexArray]:
+    """Process one chunk; returns (new_state, complex frames).
+
+    ``chunk`` length must be a static multiple of ``hop`` so the carry
+    keeps a fixed shape (jit/scan compatible). Equivalent to running
+    :func:`stft` over the concatenated stream: frames never straddle a
+    chunk boundary unseen — the carry supplies the n_fft - hop overlap.
+    """
+    chunk = jnp.asarray(chunk)
+    if chunk.shape[-1] % hop != 0:
+        raise ValueError(
+            f"chunk length {chunk.shape[-1]} must be a multiple of hop {hop}")
+    buf = jnp.concatenate([state.tail, chunk], axis=-1)
+    spec = stft(buf, n_fft, hop, window)
+    new_tail = buf[..., buf.shape[-1] - (n_fft - hop):]
+    return StftState(tail=new_tail), spec

@@ -1,0 +1,97 @@
+"""STFT / spectrogram / streaming-state tests (BASELINE.json config 2)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pragma_dsp_tpu.stream import (
+    StftState, frame_signal, istft, spectrogram, stft, stft_step,
+    stft_stream_init,
+)
+from pragma_dsp_tpu.xform.fourier import window_values
+
+
+def _numpy_stft(x, n_fft, hop, window):
+    w = window_values(window, n_fft)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    out = np.empty((n_frames, n_fft), dtype=np.complex128)
+    for f in range(n_frames):
+        out[f] = np.fft.fft(x[f * hop:f * hop + n_fft] * w)
+    return out
+
+
+def test_frame_signal_shapes():
+    x = jnp.arange(100.0)
+    fr = frame_signal(x, 16, 4)
+    assert fr.shape == (22, 16)
+    np.testing.assert_array_equal(np.asarray(fr[0]), np.arange(16.0))
+    np.testing.assert_array_equal(np.asarray(fr[1]), np.arange(4.0, 20.0))
+
+
+def test_stft_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096)
+    for window in ("rect", "hann"):
+        got = stft(jnp.asarray(x), 1024, 256, window)
+        ref = _numpy_stft(x, 1024, 256, window)
+        np.testing.assert_allclose(np.asarray(got.real), ref.real, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(got.imag), ref.imag, atol=1e-8)
+
+
+def test_stft_default_hop_is_75_percent_overlap():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(4096 * 3))
+    spec = stft(x, 4096)
+    assert spec.real.shape == (1 + (4096 * 3 - 4096) // 1024, 4096)
+
+
+def test_spectrogram_tracks_chirp_peak():
+    # A slow chirp's per-frame peak frequency must increase monotonically.
+    sr = 48000.0
+    n = 48000
+    t = np.arange(n) / sr
+    f0, f1 = 1000.0, 8000.0
+    x = np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t * t / (2 * (n / sr))))
+    r = spectrogram(jnp.asarray(x), 1024, 512, window="hann", sample_rate=sr)
+    freqs = np.asarray(r.peak.frequency)
+    assert freqs.shape[0] == 1 + (n - 1024) // 512
+    assert np.all(np.diff(freqs) >= 0)
+    assert abs(freqs[0] - f0) < 200 and abs(freqs[-1] - f1) < 400
+
+
+def test_istft_roundtrip():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(8192)
+    spec = stft(jnp.asarray(x), 512, 128, "hann")
+    rec = istft(spec, 128, "hann", length=8192)
+    # Interior reconstruction is exact under WOLA; edges lack overlap.
+    interior = slice(512, 8192 - 512)
+    np.testing.assert_allclose(np.asarray(rec)[interior], x[interior],
+                               atol=1e-8)
+
+
+def test_streaming_equals_batch_with_zero_history():
+    # Chunked stft with zero-initialised carry == batch stft of the
+    # zero-prefixed signal.
+    rng = np.random.default_rng(3)
+    n_fft, hop = 256, 64
+    chunks = [rng.standard_normal(512) for _ in range(4)]
+    full = np.concatenate([np.zeros(n_fft - hop)] + chunks)
+
+    state = stft_stream_init(n_fft, hop, dtype=jnp.float64)
+    outs = []
+    for ch in chunks:
+        state, spec = stft_step(state, jnp.asarray(ch), n_fft, hop, "hann")
+        outs.append(np.asarray(spec.real) + 1j * np.asarray(spec.imag))
+    streamed = np.concatenate(outs, axis=0)
+
+    ref = _numpy_stft(full, n_fft, hop, "hann")
+    # Batch framing emits one extra trailing frame the stream hasn't seen yet
+    assert streamed.shape[0] in (ref.shape[0], ref.shape[0] - 1)
+    np.testing.assert_allclose(streamed, ref[:streamed.shape[0]], atol=1e-8)
+
+
+def test_stft_step_rejects_misaligned_chunk():
+    import pytest
+
+    state = stft_stream_init(256, 64)
+    with pytest.raises(ValueError):
+        stft_step(state, jnp.zeros(100), 256, 64)
