@@ -1,0 +1,390 @@
+"""Fused Pallas FFT kernels — one HBM pass, MXU sub-DFTs.
+
+The jnp four-step path (ops/fft_fourstep.py) lowers to several XLA kernels
+with HBM round-trips between them. These kernels keep the whole transform
+in VMEM: load a (TILE_B, N2, N1) block (N1 = 128 in the lane axis
+throughout), run DFT_N2 (sublane-axis dot_general), twiddle, DFT_128
+(native MXU matmul) — one store.
+
+Digit order: the four-step corner turn (X[k] lives at digit-swapped
+(k1, k2)) is the one data movement TPU tiles hate: any VMEM buffer whose
+minor dim is the small digit N2 pads lanes 128/N2-fold. So:
+
+* the forward kernel emits **permuted order** P[b, k2, k1] = X[k2 + N2*k1]
+  (lanes stay 128-wide, no in-kernel corner turn);
+* the inverse kernel **consumes** permuted order and emits natural time
+  order (the inverse four-step absorbs the digit swap symmetrically), so
+  fft -> pointwise -> ifft pipelines (overlap-save convolution!) never
+  pay a transpose at all;
+* natural-order fft/ifft wrappers add exactly one XLA transpose on the
+  (B, N2, N1) view, outside the kernel where XLA's relayout machinery
+  handles it.
+
+On non-TPU backends kernels run in interpreter mode automatically — the
+SURVEY.md §5 "sanitizer build" analogue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.complex import Array, ComplexArray, as_complex_array, is_power_of_two
+from .fft_fourstep import _dft_matrix, _twiddle_grid
+
+__all__ = [
+    "fft_pallas",
+    "ifft_pallas",
+    "fft_pallas_permuted",
+    "ifft_pallas_from_permuted",
+    "permuted_to_natural",
+    "natural_to_permuted",
+    "spectrum_amplitude_pallas",
+]
+
+LANES = 128
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _hi_dot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+def _dg(dims):
+    return functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+
+
+def _split(n: int) -> Tuple[int, int]:
+    n1 = LANES
+    return n // n1, n1  # (n2, n1)
+
+
+def _plan_consts(n: int, sign: float, dtype, inverse_layout: bool
+                 ) -> Tuple[np.ndarray, ...]:
+    """Constant tables passed as kernel inputs (Pallas cannot capture
+    array constants): (gr, gi, tc, ts, fr, fi). G = DFT_N2, F = DFT_N1,
+    (tc, ts) = W_N^(n1*k2) grid shaped for broadcast: (k2, 1, n1) in the
+    forward kernel's (k2, b, n1) layout, (1, k2, n1) in the inverse
+    kernel's (b, k2, n1) layout."""
+    if n <= LANES:
+        fr, fi = _dft_matrix(n, sign)
+        one = np.ones((1, 1, 1))
+        return (one.astype(dtype),) * 4 + (fr.astype(dtype), fi.astype(dtype))
+    n2, n1 = _split(n)
+    gr, gi = _dft_matrix(n2, sign)
+    tc, ts = _twiddle_grid(n, n2, n1, sign)
+    fr, fi = _dft_matrix(n1, sign)
+    shape = (1, n2, n1) if inverse_layout else (n2, 1, n1)
+    tc = tc.reshape(shape)
+    ts = ts.reshape(shape)
+    return (gr.astype(dtype), gi.astype(dtype), tc.astype(dtype),
+            ts.astype(dtype), fr.astype(dtype), fi.astype(dtype))
+
+
+# ── kernel cores ─────────────────────────────────────────────────────
+
+
+def _fwd_block(xr, xi, consts, n: int):
+    """(TB, N2, N1) natural time -> (TB, N2, N1) permuted frequency."""
+    gr, gi, tc, ts, fr, fi = consts
+    if n <= LANES:
+        rr = _hi_dot(xr, fr) - _hi_dot(xi, fi)
+        ii = _hi_dot(xr, fi) + _hi_dot(xi, fr)
+        return rr, ii
+    # DFT over n2 (sublane axis): dot_general(G, x) -> (k2, b, l).
+    d1 = _dg((((1,), (1,)), ((), ())))
+    rr = d1(gr, xr) - d1(gi, xi)
+    ii = d1(gr, xi) + d1(gi, xr)
+    # Twiddle W_N^(n1*k2) — (k2, 1, n1) broadcasts over b.
+    tr = rr * tc - ii * ts
+    ti = rr * ts + ii * tc
+    # DFT over lanes (MXU): contract l -> (k2, b, k1).
+    d3 = _dg((((2,), (0,)), ((), ())))
+    orr = d3(tr, fr) - d3(ti, fi)
+    oii = d3(tr, fi) + d3(ti, fr)
+    # (k2, b, k1) -> (b, k2, k1): major-dims swap only, lanes untouched.
+    return jnp.transpose(orr, (1, 0, 2)), jnp.transpose(oii, (1, 0, 2))
+
+
+def _inv_block(pr, pi, consts, n: int):
+    """(TB, N2, N1) permuted frequency -> (TB, N2, N1) natural time.
+
+    x[n1 + N1*n2] = 1/N * DFT+_N2( W_N^(+n1*k2) * DFT+_N1( P[k2, k1] ) )
+    — same structure as forward with the two sub-DFTs swapped, so the
+    digit swap cancels and the output is naturally ordered."""
+    gr, gi, tc, ts, fr, fi = consts
+    if n <= LANES:
+        rr = _hi_dot(pr, fr) - _hi_dot(pi, fi)
+        ii = _hi_dot(pr, fi) + _hi_dot(pi, fr)
+        return rr, ii
+    # DFT+ over lanes (k1) first: (b, k2, k1) -> (b, k2, n1).
+    d1 = _dg((((2,), (0,)), ((), ())))
+    rr = d1(pr, fr) - d1(pi, fi)
+    ii = d1(pr, fi) + d1(pi, fr)
+    # Twiddle W_N^(+n1*k2) — (1, k2, n1) broadcasts over b.
+    tr = rr * tc - ii * ts
+    ti = rr * ts + ii * tc
+    # DFT+ over k2 (sublane axis): dot_general(G, t) -> (n2, b, n1).
+    d3 = _dg((((1,), (1,)), ((), ())))
+    orr = d3(gr, tr) - d3(gi, ti)
+    oii = d3(gr, ti) + d3(gi, tr)
+    return jnp.transpose(orr, (1, 0, 2)), jnp.transpose(oii, (1, 0, 2))
+
+
+def _fft_kernel(re_ref, im_ref, gr, gi, tc, ts, fr, fi, ore_ref, oim_ref,
+                *, n, inverse, scale):
+    xr = re_ref[:]
+    xi = im_ref[:]
+    consts = (gr[:], gi[:], tc[:], ts[:], fr[:], fi[:])
+    block = _inv_block if inverse else _fwd_block
+    orr, oii = block(xr, xi, consts, n)
+    if scale != 1.0:
+        s = jnp.asarray(scale, xr.dtype)
+        orr = orr * s
+        oii = oii * s
+    ore_ref[:] = orr
+    oim_ref[:] = oii
+
+
+def _pick_tile(batch: int, n: int) -> int:
+    # ~<=512KB of fp32 per plane in flight: with 2 planes in + 2 out and
+    # double buffering that is ~4MB of VMEM windows, comfortably inside
+    # the 16MB scoped limit even when the kernel runs under lax loops.
+    budget = max(1, 512 * 1024 // (4 * n))
+    tile = min(512, budget, batch)
+    while batch % tile != 0:
+        tile -= 1
+    return tile
+
+
+def _const_spec(arr):
+    shape = arr.shape
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
+def _fft_pallas_3d(re: Array, im: Array, n: int, inverse: bool,
+                   interpret: bool) -> Tuple[Array, Array]:
+    """Core call: 2D (batch, n<=128) or 3D (batch, N2, N1) in and out.
+
+    forward: natural-in -> permuted-out; inverse: permuted-in -> natural-out.
+    """
+    batch = re.shape[0]
+    tb = _pick_tile(batch, n)
+    sign = 1.0 if inverse else -1.0
+    scale = 1.0 / n if inverse else 1.0
+    consts = [jnp.asarray(c)
+              for c in _plan_consts(n, sign, re.dtype, inverse_layout=inverse)]
+    kernel = functools.partial(_fft_kernel, n=n, inverse=inverse, scale=scale)
+    if n <= LANES:
+        spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((batch, n), re.dtype)] * 2
+        specs = [spec, spec]
+        out_specs = [spec, spec]
+    else:
+        n2, n1 = _split(n)
+        spec = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((batch, n2, n1), re.dtype)] * 2
+        specs = [spec, spec]
+        out_specs = [spec, spec]
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // tb,),
+        in_specs=specs + [_const_spec(c) for c in consts],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(re, im, *consts)
+
+
+# ── order conversion (outside kernels, XLA relayout) ─────────────────
+
+
+def permuted_to_natural(x: Array, n: int) -> Array:
+    """[batch, N2, N1] permuted (P[.., k2, k1] = X[k2 + N2*k1]) -> [batch, n]."""
+    if n <= LANES:
+        return x.reshape(x.shape[:-1] + (n,)) if x.shape[-1] == n else x
+    n2, n1 = _split(n)
+    return jnp.swapaxes(x, -1, -2).reshape(x.shape[:-2] + (n,))
+
+
+def natural_to_permuted(x: Array, n: int) -> Array:
+    """[batch, n] natural -> [batch, N2, N1] permuted view."""
+    if n <= LANES:
+        return x
+    n2, n1 = _split(n)
+    return jnp.swapaxes(x.reshape(x.shape[:-1] + (n1, n2)), -1, -2)
+
+
+# ── public wrappers ──────────────────────────────────────────────────
+
+
+def _flatten_batch(xc: ComplexArray, axis: int):
+    re = jnp.moveaxis(xc.real, axis, -1)
+    im = jnp.moveaxis(xc.imag, axis, -1)
+    shape = re.shape
+    n = shape[-1]
+    return re.reshape(-1, n), im.reshape(-1, n), shape
+
+
+def fft_pallas_permuted(x, axis: int = -1,
+                        interpret: Optional[bool] = None) -> ComplexArray:
+    """Forward FFT emitting digit-permuted bins: result planes have shape
+    [batch..., N2, N1] with P[..., k2, k1] = X[k2 + N2*k1] (or [..., n]
+    natural when n <= 128). Use for fft->pointwise->ifft pipelines: pair
+    with :func:`ifft_pallas_from_permuted` and no transpose is ever paid."""
+    xc = as_complex_array(x)
+    n = xc.real.shape[axis]
+    if not is_power_of_two(n):
+        raise ValueError(f"FFT size must be power of two, got {n}")
+    interp = _use_interpret() if interpret is None else interpret
+    re2, im2, shape = _flatten_batch(xc, axis)
+    if n > LANES:
+        n2, n1 = _split(n)
+        re2 = re2.reshape(-1, n2, n1)
+        im2 = im2.reshape(-1, n2, n1)
+        out_batch_shape = shape[:-1] + (n2, n1)
+    else:
+        out_batch_shape = shape
+    ore, oim = _fft_pallas_3d(re2, im2, n, False, interp)
+    return ComplexArray(ore.reshape(out_batch_shape),
+                        oim.reshape(out_batch_shape))
+
+
+def ifft_pallas_from_permuted(p: ComplexArray, axis_shape_n: int,
+                              interpret: Optional[bool] = None) -> ComplexArray:
+    """Inverse FFT consuming digit-permuted bins ([batch..., N2, N1]),
+    emitting natural time order [batch..., n] over the last axis."""
+    n = axis_shape_n
+    interp = _use_interpret() if interpret is None else interpret
+    pr, pi = p.real, p.imag
+    if n > LANES:
+        n2, n1 = _split(n)
+        batch_shape = pr.shape[:-2]
+        pr = pr.reshape(-1, n2, n1)
+        pi = pi.reshape(-1, n2, n1)
+    else:
+        batch_shape = pr.shape[:-1]
+        pr = pr.reshape(-1, n)
+        pi = pi.reshape(-1, n)
+    ore, oim = _fft_pallas_3d(pr, pi, n, True, interp)
+    return ComplexArray(ore.reshape(batch_shape + (n,)),
+                        oim.reshape(batch_shape + (n,)))
+
+
+def fft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexArray:
+    """Forward FFT, natural bin order (numpy convention, unnormalised)."""
+    xc = as_complex_array(x)
+    n = xc.real.shape[axis]
+    p = fft_pallas_permuted(xc, axis, interpret)
+    ore = permuted_to_natural(p.real, n)
+    oim = permuted_to_natural(p.imag, n)
+    ax = axis % xc.real.ndim
+    return ComplexArray(jnp.moveaxis(ore, -1, ax), jnp.moveaxis(oim, -1, ax))
+
+
+def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexArray:
+    """Inverse FFT with 1/N normalisation, natural order both sides."""
+    xc = as_complex_array(x)
+    n = xc.real.shape[axis]
+    if not is_power_of_two(n):
+        raise ValueError(f"FFT size must be power of two, got {n}")
+    re2, im2, shape = _flatten_batch(xc, axis)
+    p = ComplexArray(natural_to_permuted(re2, n), natural_to_permuted(im2, n))
+    out = ifft_pallas_from_permuted(p, n, interpret)
+    ax = axis % xc.real.ndim
+    ore = out.real.reshape(shape)
+    oim = out.imag.reshape(shape)
+    return ComplexArray(jnp.moveaxis(ore, -1, ax), jnp.moveaxis(oim, -1, ax))
+
+
+# ── fused windowed spectrum amplitude ────────────────────────────────
+
+
+def _spectrum_kernel(x_ref, win_ref, gr, gi, tc, ts, fr, fi, oamp_ref, *, n):
+    """window -> FFT -> |X| -> 1/N scaling, all in VMEM; permuted bins.
+
+    Implements the beginner-rung pipeline core (reference
+    src/public/spectrum.ts:117-127) as one kernel; peak detection, phase
+    and one-sided doubling happen outside on the small bin arrays.
+    """
+    x = x_ref[:]
+    xw = x * win_ref[:]
+    zr = jnp.zeros_like(xw)
+    consts = (gr[:], gi[:], tc[:], ts[:], fr[:], fi[:])
+    orr, oii = _fwd_block(xw, zr, consts, n)
+    mag = jnp.sqrt(orr * orr + oii * oii)
+    oamp_ref[:] = mag * jnp.asarray(1.0 / n, x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "window", "interpret"))
+def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
+    from ..xform.fourier import window_values
+
+    batch = x.shape[0]
+    tb = _pick_tile(batch, n)
+    wvals = window_values(window, n)
+    consts = [jnp.asarray(c)
+              for c in _plan_consts(n, -1.0, x.dtype, inverse_layout=False)]
+    kernel = functools.partial(_spectrum_kernel, n=n)
+    if n <= LANES:
+        spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        win = jnp.asarray(wvals.reshape(1, n), dtype=x.dtype)
+        in_x = x
+        out_shape = jax.ShapeDtypeStruct((batch, n), x.dtype)
+    else:
+        n2, n1 = _split(n)
+        spec = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        # Window indexed by time n = n1 + N1*n2 matches the (n2, n1) view.
+        win = jnp.asarray(wvals.reshape(1, n2, n1), dtype=x.dtype)
+        in_x = x.reshape(batch, n2, n1)
+        out_shape = jax.ShapeDtypeStruct((batch, n2, n1), x.dtype)
+    amp = pl.pallas_call(
+        kernel,
+        grid=(batch // tb,),
+        in_specs=[spec, _const_spec(win)] + [_const_spec(c) for c in consts],
+        out_specs=spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(in_x, win, *consts)
+    return permuted_to_natural(amp, n)
+
+
+def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
+                              sides: str = "one",
+                              interpret: Optional[bool] = None) -> Array:
+    """Fused amplitude spectrum of real frames [batch..., n].
+
+    Returns the scaled amplitude ([..., n//2+1] one-sided with DC/Nyquist
+    not doubled, else [..., n] two-sided), matching spectrum()'s scaling
+    laws exactly (reference src/public/spectrum.ts:45-72).
+    """
+    x = jnp.asarray(x)
+    if x.shape[-1] != n:
+        raise ValueError(f"frame length {x.shape[-1]} != n {n}")
+    interp = _use_interpret() if interpret is None else interpret
+    shape = x.shape
+    amp2 = _spectrum_amp_2d(x.reshape(-1, n), n, window, interp)
+    amp2 = amp2.reshape(shape)
+    if sides == "two":
+        return amp2
+    half = amp2[..., : n // 2 + 1]
+    k = np.arange(n // 2 + 1)
+    nyq = n // 2 if n % 2 == 0 else -1
+    dbl = np.where((k == 0) | (k == nyq), 1.0, 2.0)
+    return half * jnp.asarray(dbl, dtype=amp2.dtype)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.complex import Array, next_power_of_two
-from ..core.fft import fft as _fft
+from ..ops.dispatch import fft as _fft
 from ..xform.fourier import (
     apply_window,
     bin_frequencies,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.complex import Array, ComplexArray
-from ..core.fft import fft as _fft
+from ..ops.dispatch import fft as _fft
 from ..public.spectrum import (
     SpectrumResult,
     find_peak,
@@ -70,7 +70,7 @@ def istft(spec: ComplexArray, hop: int, window: str = "hann",
     Reconstructs a real signal from [..., F, n_fft] produced by
     :func:`stft` with the same hop and window.
     """
-    from ..core.fft import ifft as _ifft
+    from ..ops.dispatch import ifft as _ifft
 
     n_fft = spec.real.shape[-1]
     n_frames = spec.real.shape[-2]

@@ -1,0 +1,123 @@
+"""Pallas kernel + four-step + dispatch tests (interpret mode on CPU),
+validated against the numpy oracle and the Stockham reference path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pragma_dsp_tpu.core import ComplexArray
+from pragma_dsp_tpu.ops import (
+    fft, fft_fourstep, fft_pallas, fft_pallas_permuted, ifft,
+    ifft_fourstep, ifft_pallas, ifft_pallas_from_permuted,
+    spectrum_amplitude_pallas, set_fft_impl,
+)
+from pragma_dsp_tpu.utils.fixtures import snr_db
+from pragma_dsp_tpu.xform.fourier import window_values
+
+RNG = np.random.default_rng(0)
+
+
+def _cx(shape):
+    z = RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)
+    return z.astype(np.complex64)
+
+
+def _ca(z):
+    return ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag))
+
+
+@pytest.mark.parametrize("n", [64, 128, 256, 1024, 4096])
+def test_fourstep_matches_numpy(n):
+    z = _cx((3, n))
+    out = fft_fourstep(_ca(z)).to_numpy_complex()
+    ref = np.fft.fft(z, axis=-1)
+    assert snr_db(ref.view(np.float64).reshape(ref.shape + (2,)) if False else
+                  np.stack([ref.real, ref.imag]),
+                  np.stack([out.real, out.imag])) > 110
+
+
+@pytest.mark.parametrize("n", [64, 128, 256, 1024, 4096])
+def test_pallas_fft_matches_numpy(n):
+    z = _cx((4, n))
+    out = fft_pallas(_ca(z)).to_numpy_complex()
+    ref = np.fft.fft(z, axis=-1)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([out.real, out.imag])) > 110
+
+
+@pytest.mark.parametrize("n", [64, 1024])
+def test_pallas_roundtrip(n):
+    z = _cx((4, n))
+    rt = ifft_pallas(fft_pallas(_ca(z))).to_numpy_complex()
+    assert np.abs(rt - z).max() < 1e-4
+
+
+@pytest.mark.parametrize("n", [64, 1024, 4096])
+def test_permuted_roundtrip_zero_transpose(n):
+    z = _cx((4, n))
+    p = fft_pallas_permuted(_ca(z))
+    rt = ifft_pallas_from_permuted(p, n).to_numpy_complex()
+    assert np.abs(rt - z).max() < 1e-4
+
+
+def test_permuted_order_definition():
+    # P[.., k2, k1] must equal X[k2 + N2*k1]
+    n = 1024
+    n2, n1 = n // 128, 128
+    z = _cx((2, n))
+    p = fft_pallas_permuted(_ca(z))
+    ref = np.fft.fft(z, axis=-1)
+    pref = ref.reshape(2, n1, n2).transpose(0, 2, 1)  # [b, k2, k1]
+    got = p.to_numpy_complex()
+    assert got.shape == (2, n2, n1)
+    assert snr_db(np.stack([pref.real, pref.imag]),
+                  np.stack([got.real, got.imag])) > 110
+
+
+def test_fourstep_inverse(n=1024):
+    z = _cx((2, n))
+    rt = ifft_fourstep(fft_fourstep(_ca(z))).to_numpy_complex()
+    assert np.abs(rt - z).max() < 1e-4
+
+
+def test_fused_spectrum_amplitude_matches_reference_scaling():
+    n = 1024
+    x = RNG.standard_normal((3, n)).astype(np.float32)
+    for sides in ("one", "two"):
+        amp = np.asarray(spectrum_amplitude_pallas(jnp.asarray(x), n,
+                                                   window="hann", sides=sides))
+        w = window_values("hann", n)
+        mags = np.abs(np.fft.fft(x * w, axis=-1))
+        if sides == "one":
+            k = np.arange(n // 2 + 1)
+            f = np.where((k == 0) | (k == n // 2), 1 / n, 2 / n)
+            ref = mags[:, : n // 2 + 1] * f
+        else:
+            ref = mags / n
+        assert snr_db(ref, amp) > 110
+
+
+def test_dispatch_selects_and_overrides():
+    z = _cx((2, 256))
+    ref = np.fft.fft(z, axis=-1)
+    for impl in ("stockham", "fourstep", "pallas"):
+        out = fft(_ca(z), impl=impl).to_numpy_complex()
+        assert snr_db(np.stack([ref.real, ref.imag]),
+                      np.stack([out.real, out.imag])) > 110, impl
+        rt = ifft(fft(_ca(z), impl=impl), impl=impl).to_numpy_complex()
+        assert np.abs(rt - z).max() < 1e-4, impl
+    set_fft_impl("stockham")
+    try:
+        out = fft(_ca(z)).to_numpy_complex()
+        assert snr_db(np.stack([ref.real, ref.imag]),
+                      np.stack([out.real, out.imag])) > 110
+    finally:
+        set_fft_impl("auto")
+
+
+def test_dispatch_f64_stays_reference():
+    # On CPU with x64, dispatch must keep full f64 accuracy.
+    z = (RNG.standard_normal((2, 512)) + 1j * RNG.standard_normal((2, 512)))
+    out = fft(ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ref = np.fft.fft(z, axis=-1)
+    assert np.abs(out.to_numpy_complex() - ref).max() < 1e-9
