@@ -1,5 +1,21 @@
 """Performance ops layer: Pallas kernels, MXU FFTs, dispatch, DSP blocks."""
 
+from .channelizer import (
+    PfbState,
+    pfb_channelize,
+    pfb_channelize_step,
+    pfb_stream_init,
+    pfb_taps,
+)
+from .demod import (
+    FmDemodState,
+    am_demod,
+    deemphasis,
+    fm_discriminate,
+    fm_discriminate_step,
+    fm_stream_init,
+    iir_one_pole,
+)
 from .dispatch import fft, get_fft_impl, ifft, set_fft_impl
 from .fft_fourstep import fft_fourstep, ifft_fourstep
 from .fft_pallas import (
@@ -8,6 +24,15 @@ from .fft_pallas import (
     ifft_pallas,
     ifft_pallas_from_permuted,
     spectrum_amplitude_pallas,
+)
+from .fir import FirState, fir_filter, fir_step, fir_stream_init, overlap_save_filter
+from .polyphase import (
+    decimate,
+    design_lowpass,
+    interpolate,
+    resample_poly,
+    resampler_taps,
+    upfirdn,
 )
 
 __all__ = [
@@ -22,4 +47,27 @@ __all__ = [
     "fft_pallas_permuted",
     "ifft_pallas_from_permuted",
     "spectrum_amplitude_pallas",
+    "FirState",
+    "fir_filter",
+    "fir_step",
+    "fir_stream_init",
+    "overlap_save_filter",
+    "decimate",
+    "design_lowpass",
+    "interpolate",
+    "resample_poly",
+    "resampler_taps",
+    "upfirdn",
+    "FmDemodState",
+    "am_demod",
+    "deemphasis",
+    "fm_discriminate",
+    "fm_discriminate_step",
+    "fm_stream_init",
+    "iir_one_pole",
+    "PfbState",
+    "pfb_channelize",
+    "pfb_channelize_step",
+    "pfb_stream_init",
+    "pfb_taps",
 ]

@@ -1,0 +1,135 @@
+"""Polyphase filterbank channelizer (BASELINE.json config 5).
+
+Critically-sampled C-channel PFB: the input IQ stream is split into C
+polyphase branches, each branch filtered with its slice of the prototype
+lowpass, and an FFT across branches separates the channels. One output
+frame of C channel samples is produced per C input samples.
+
+Convention (matched by the numpy golden in tests/test_channelizer.py):
+
+    y[m, c] = sum_p exp(-2j*pi*p*c/C) * sum_t h[t*C + p] * x[(m-t)*C + p]
+
+i.e. branch p takes input samples congruent to p (mod C), the branch
+filters are time-aligned (causal, zero history), and the channel
+separation is a forward (analysis) DFT across branches, so a tone at
++c/C of the input rate lands in channel c (a tone at k/C contributes
+exp(+2j*pi*k*p/C) per branch, which the forward kernel picks out at
+c = k).
+
+All heavy work is batched: branch filtering is one dot over the T tap
+frames (MXU) and the cross-branch FFT uses the dispatch path. The
+channel axis is what `parallel/` shards over chips with all_to_all.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.complex import Array, ComplexArray, as_complex_array
+from .dispatch import fft as _fft
+from .polyphase import design_lowpass
+
+__all__ = ["pfb_taps", "pfb_channelize", "PfbState", "pfb_stream_init",
+           "pfb_channelize_step"]
+
+
+def pfb_taps(channels: int, taps_per_branch: int = 8,
+             cutoff_scale: float = 1.0) -> np.ndarray:
+    """Prototype lowpass for a C-channel PFB: C*T taps, cutoff 1/C
+    (scaled), unity DC gain."""
+    return design_lowpass(channels * taps_per_branch,
+                          cutoff_scale / channels)
+
+
+def _branch_filter(x: ComplexArray, h: np.ndarray, channels: int
+                   ) -> Tuple[Array, Array]:
+    """Polyphase branch filtering.
+
+    x: [..., L] complex with L a multiple of C. Returns (re, im) shaped
+    [..., M, C] where M = L // C and entry [m, p] = sum_t h[t*C+p] *
+    x[(m-t)*C + p].
+    """
+    c = channels
+    k = h.shape[0]
+    t_taps = -(-k // c)
+    hp = np.zeros((t_taps, c), dtype=np.float64)
+    hp.ravel()[:k] = h          # hp[t, p] = h[t*C + p]
+    length = x.real.shape[-1]
+    m = length // c
+    batch = x.real.shape[:-1]
+
+    # Frames[m] needs x blocks m, m-1, ..., m-T+1 -> left-pad T-1 zero
+    # blocks then gather T consecutive blocks per output frame.
+    def one_plane(plane):
+        xb = plane.reshape(batch + (m, c))
+        pad = [(0, 0)] * len(batch) + [(t_taps - 1, 0), (0, 0)]
+        xp = jnp.pad(xb, pad)
+        idx = np.arange(m)[:, None] + np.arange(t_taps)[None, :]  # block m-t at t reversed
+        # window t=0..T-1 corresponds to blocks (m - (T-1) + t); reverse
+        # so index t maps to block m-t.
+        frames = xp[..., idx, :]                 # [..., m, T, c] blocks m-T+1..m
+        frames = frames[..., ::-1, :]            # now [..., m, t, c] = block m-t
+        w = jnp.asarray(hp, dtype=plane.dtype)
+        return jnp.einsum("...mtc,tc->...mc", frames, w,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return one_plane(x.real), one_plane(x.imag)
+
+
+def pfb_channelize(x, channels: int, taps=None,
+                   taps_per_branch: int = 8) -> ComplexArray:
+    """Channelize IQ [..., L] (L multiple of C) into [..., M, C] complex
+    channel samples, M = L // C; channel c is centred at +c/C of the
+    input sample rate and runs at rate fs/C."""
+    xc = as_complex_array(x)
+    if taps is None:
+        taps = pfb_taps(channels, taps_per_branch)
+    taps = np.asarray(taps, dtype=np.float64)
+    if xc.real.shape[-1] % channels != 0:
+        raise ValueError(
+            f"input length {xc.real.shape[-1]} not a multiple of "
+            f"channels={channels}")
+    vr, vi = _branch_filter(xc, taps, channels)
+    # Analysis DFT across branches (forward kernel, unnormalised).
+    return _fft(ComplexArray(vr, vi), axis=-1)
+
+
+class PfbState(NamedTuple):
+    """Streaming carry: last (T-1)*C input samples."""
+
+    tail_re: Array
+    tail_im: Array
+
+
+def pfb_stream_init(channels: int, taps_per_branch: int = 8,
+                    batch_shape: Tuple[int, ...] = (),
+                    dtype=jnp.float32) -> PfbState:
+    n = (taps_per_branch - 1) * channels
+    z = jnp.zeros(batch_shape + (n,), dtype=dtype)
+    return PfbState(tail_re=z, tail_im=z)
+
+
+def pfb_channelize_step(state: PfbState, chunk, channels: int, taps=None,
+                        taps_per_branch: int = 8
+                        ) -> Tuple[PfbState, ComplexArray]:
+    """Chunked channelizer matching the batch result (chunk length must
+    be a multiple of C)."""
+    xc = as_complex_array(chunk)
+    if taps is None:
+        taps = pfb_taps(channels, taps_per_branch)
+    t_taps = -(-np.asarray(taps).shape[0] // channels)
+    hist = (t_taps - 1) * channels
+    buf = ComplexArray(
+        jnp.concatenate([state.tail_re, xc.real], axis=-1),
+        jnp.concatenate([state.tail_im, xc.imag], axis=-1))
+    full = pfb_channelize(buf, channels, taps, taps_per_branch)
+    # The first (T-1) output frames re-compute history already emitted.
+    out = ComplexArray(full.real[..., t_taps - 1:, :],
+                       full.imag[..., t_taps - 1:, :])
+    new = PfbState(tail_re=buf.real[..., buf.real.shape[-1] - hist:],
+                   tail_im=buf.imag[..., buf.imag.shape[-1] - hist:])
+    return new, out

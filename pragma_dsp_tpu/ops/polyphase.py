@@ -1,0 +1,119 @@
+"""Polyphase resampling: upfirdn, rational resampler, decimator,
+interpolator — all as XLA dilated convolutions (MXU-lowered on TPU).
+
+Semantics are scipy.signal.upfirdn(h, x, up, down): upsample by ``up``
+(zero insertion), filter with ``h`` (full convolution), downsample by
+``down``. The polyphase efficiency comes for free: XLA's
+``conv_general_dilated`` with ``lhs_dilation=up`` and ``window_strides=
+down`` never materialises the zero-stuffed signal and only computes the
+kept outputs — the hardware-native equivalent of a polyphase filterbank
+implementation (BASELINE.json config 3).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.complex import Array, ComplexArray, as_complex_array
+
+__all__ = ["upfirdn", "resample_poly", "decimate", "interpolate",
+           "design_lowpass", "resampler_taps"]
+
+
+def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming") -> np.ndarray:
+    """Windowed-sinc lowpass FIR (normalized cutoff in (0, 1], Nyquist=1),
+    matching scipy.signal.firwin(num_taps, cutoff) with the same window
+    and unity DC gain. Computed in f64 at trace time."""
+    m = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    h = np.sinc(cutoff * m) * cutoff
+    from .. import xform  # reuse framework window formulas where they match
+
+    if window == "hamming":
+        w = np.hamming(num_taps)
+    elif window == "hann":
+        w = np.hanning(num_taps)
+    elif window == "blackman":
+        w = np.blackman(num_taps)
+    elif window == "rect":
+        w = np.ones(num_taps)
+    else:
+        raise ValueError(f"unknown window {window}")
+    h = h * w
+    return h / np.sum(h)
+
+
+def resampler_taps(up: int, down: int, num_taps: int = 127) -> np.ndarray:
+    """Anti-aliasing taps for a rational resampler: cutoff at the tighter
+    of the two Nyquist rates, gain ``up`` (so a sine keeps its amplitude
+    through zero-insertion)."""
+    cutoff = min(1.0 / up, 1.0 / down)
+    return design_lowpass(num_taps, cutoff) * up
+
+
+def _upfirdn_real(x: Array, h: Array, up: int, down: int) -> Array:
+    k = h.shape[0]
+    batch_shape = x.shape[:-1]
+    length = x.shape[-1]
+    xb = x.reshape(-1, 1, length)
+    w = h[::-1].reshape(1, 1, k).astype(x.dtype)
+    # Full convolution of the up-dilated signal, then stride-down:
+    # pad K-1 both sides of the dilated sequence.
+    y = jax.lax.conv_general_dilated(
+        xb, w, window_strides=(down,), padding=[(k - 1, k - 1)],
+        lhs_dilation=(up,), dimension_numbers=("NCH", "IOH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    y = y.reshape(batch_shape + (y.shape[-1],))
+    # scipy output length: ceil(((L-1)*up + K) / down)
+    out_len = -(-((length - 1) * up + k) // down)
+    return y[..., :out_len]
+
+
+def upfirdn(x, h, up: int = 1, down: int = 1) -> Array:
+    """scipy.signal.upfirdn semantics along the last axis; batched.
+
+    Real or complex (split-plane) input; ``h`` is real.
+    """
+    h = jnp.asarray(h)
+    if isinstance(x, ComplexArray):
+        return ComplexArray(_upfirdn_real(x.real, h, up, down),
+                            _upfirdn_real(x.imag, h, up, down))
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return ComplexArray(_upfirdn_real(x.real, h, up, down),
+                            _upfirdn_real(x.imag, h, up, down))
+    return _upfirdn_real(x, h, up, down)
+
+
+def resample_poly(x, up: int, down: int, taps=None,
+                  num_taps: int = 127) -> Array:
+    """Rational-rate resampler (e.g. 48 kHz -> 44.1 kHz is up=147,
+    down=160 with the default 127-tap design — BASELINE.json config 3).
+
+    Matches scipy.signal.upfirdn with the same taps; to compare against
+    scipy.signal.resample_poly pass its filter via ``taps``.
+    """
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if taps is None:
+        taps = resampler_taps(up, down, num_taps)
+    return upfirdn(x, jnp.asarray(taps), up, down)
+
+
+def decimate(x, factor: int, taps=None, num_taps: int = 127) -> Array:
+    """Anti-aliased integer-rate decimation."""
+    if taps is None:
+        taps = design_lowpass(num_taps, 1.0 / factor)
+    return upfirdn(x, jnp.asarray(taps), 1, factor)
+
+
+def interpolate(x, factor: int, taps=None, num_taps: int = 127) -> Array:
+    """Zero-stuffing interpolation with anti-imaging filter (gain=factor)."""
+    if taps is None:
+        taps = design_lowpass(num_taps, 1.0 / factor) * factor
+    return upfirdn(x, jnp.asarray(taps), factor, 1)

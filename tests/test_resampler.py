@@ -1,0 +1,95 @@
+"""Polyphase resampler vs scipy.signal.upfirdn goldens (config 3:
+48 kHz -> 44.1 kHz with a 127-tap FIR)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from pragma_dsp_tpu.core import ComplexArray
+from pragma_dsp_tpu.ops.polyphase import (
+    decimate, design_lowpass, interpolate, resample_poly, resampler_taps,
+    upfirdn,
+)
+from pragma_dsp_tpu.utils.fixtures import assert_snr, snr_db
+
+RNG = np.random.default_rng(20)
+
+
+def test_design_lowpass_matches_firwin():
+    for k, cut in [(127, 0.2), (64, 0.5), (255, 0.05)]:
+        mine = design_lowpass(k, cut)
+        ref = sps.firwin(k, cut)
+        np.testing.assert_allclose(mine, ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("up,down", [(1, 4), (4, 1), (3, 2), (147, 160)])
+def test_upfirdn_matches_scipy(up, down):
+    x = RNG.standard_normal(2000)
+    h = sps.firwin(127, min(1.0 / up, 1.0 / down) * 0.9)
+    ref = sps.upfirdn(h, x, up, down)
+    got = np.asarray(upfirdn(jnp.asarray(x), jnp.asarray(h), up, down))
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    assert_snr(ref, got, 120, f"upfirdn {up}/{down}")
+
+
+def test_upfirdn_complex():
+    z = RNG.standard_normal(1000) + 1j * RNG.standard_normal(1000)
+    h = sps.firwin(63, 0.2)
+    ref = sps.upfirdn(h, z, 2, 3)
+    got = upfirdn(ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag)),
+                  jnp.asarray(h), 2, 3)
+    assert_snr(ref.real, np.asarray(got.real), 120)
+    assert_snr(ref.imag, np.asarray(got.imag), 120)
+
+
+def test_48k_to_44k1_sine_preserved():
+    # Config 3: a 1 kHz sine resampled 48k->44.1k must stay a clean
+    # 1 kHz sine at the new rate (SNR bound after edge trim). A filter
+    # with up=147 needs >= a few taps per polyphase branch; a literal
+    # 127-tap design (fewer taps than branches) cannot interpolate —
+    # it exists only for the scipy-equivalence fixtures below.
+    fs_in = 48000.0
+    num_taps = 8 * 147 + 1
+    t = np.arange(48000) / fs_in
+    x = np.sin(2 * np.pi * 1000.0 * t)
+    y = np.asarray(resample_poly(jnp.asarray(x), 147, 160,
+                                 num_taps=num_taps))
+    expected_len = -(-((len(x) - 1) * 147 + num_taps) // 160)
+    assert y.shape[0] == expected_len
+    t_out = np.arange(len(y)) * 160 / (147 * fs_in)
+    delay = (num_taps - 1) / 2 / (fs_in * 147)
+    ref = np.sin(2 * np.pi * 1000.0 * (t_out - delay))
+    # ~56 dB achievable: limited by hamming windowed-sinc passband
+    # ripple (scipy's own resample_poly shows the same), not by the
+    # polyphase machinery.
+    trim = slice(500, len(y) - 500)
+    assert snr_db(ref[trim], y[trim]) > 50
+
+
+def test_resample_poly_matches_scipy_given_same_taps():
+    x = RNG.standard_normal(4096)
+    taps = resampler_taps(147, 160, 127)
+    ref = sps.upfirdn(taps, x, 147, 160)
+    got = np.asarray(resample_poly(jnp.asarray(x), 147, 160))
+    assert_snr(ref, got, 120)
+
+
+def test_decimate_interpolate():
+    x = RNG.standard_normal(4000)
+    d = np.asarray(decimate(jnp.asarray(x), 4))
+    h = design_lowpass(127, 0.25)
+    ref = sps.upfirdn(h, x, 1, 4)
+    assert_snr(ref, d, 120)
+    u = np.asarray(interpolate(jnp.asarray(x[:500]), 4))
+    refu = sps.upfirdn(design_lowpass(127, 0.25) * 4, x[:500], 4, 1)
+    assert_snr(refu, u, 120)
+
+
+def test_batched_resample():
+    x = RNG.standard_normal((6, 2000))
+    got = np.asarray(resample_poly(jnp.asarray(x), 3, 2))
+    taps = resampler_taps(3, 2, 127)
+    for i in range(6):
+        ref = sps.upfirdn(taps, x[i], 3, 2)
+        assert_snr(ref, got[i], 120)
