@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 1024-pt FFT + Hann spectrum throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+
+vs_baseline is the fraction of the per-chip HBM roofline (the reference
+publishes no numbers — PLAN.md:12 "not meant to be fast" — so the
+speed-of-light bound from BASELINE.json's >=80%-of-roofline target is
+the denominator): SOL = HBM_BW / 8 bytes/sample (4B f32 sample in, 4B
+amplitude out).
+
+Timing discipline: the remote-TPU dispatch round trip is ~27 ms, so the
+measured step is a lax.fori_loop chain of K pipeline iterations inside
+one jit; RTT is measured separately with an empty loop and subtracted.
+Checksums of the outputs are printed to stderr as regression guardrails
+(reference bench/run.ts:32-35 philosophy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pragma_dsp_tpu.ops.fft_pallas import _spectrum_amp_2d, _fft_pallas_3d
+    from pragma_dsp_tpu.utils.benchharness import checksum, device_specs
+
+    backend = jax.default_backend()
+    specs = device_specs()
+    log(f"backend={backend} device={specs['kind']}")
+
+    n = 1024
+    batch = 16384 if backend == "tpu" else 256
+    k = 60 if backend == "tpu" else 3
+    samples = batch * n
+
+    rng = np.random.default_rng(1337)
+    t = np.arange(n) / 48000.0
+    base = 0.8 * np.sin(2 * np.pi * 1500.0 * t)
+    x = np.tile(base, (batch, 1)) + 0.01 * rng.standard_normal((batch, n))
+    x = jnp.asarray(x, dtype=jnp.float32)
+    interp = backend != "tpu"
+
+    def pipeline(xv):
+        # fused window->FFT->|X|->1/N kernel; output feeds back so the
+        # loop cannot be elided (values renormalised to stay bounded).
+        amp = _spectrum_amp_2d(xv, n, "hann", interp)
+        return xv + amp * jnp.asarray(1e-6, xv.dtype)
+
+    def timed(step, arg, iters):
+        @jax.jit
+        def run(v):
+            out = lax.fori_loop(0, iters, lambda _, c: step(c), v)
+            return jnp.sum(out[::37])
+        float(run(arg))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(arg))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # RTT floor via an empty-ish loop on a tiny array.
+    tiny = jnp.ones((8, 128))
+    rtt = timed(lambda v: v * 1.000001, tiny, 400)
+    log(f"dispatch RTT ~ {rtt*1e3:.1f} ms")
+
+    total = timed(pipeline, x, k)
+    per_iter = max((total - rtt) / k, 1e-9)
+    msps = samples / per_iter / 1e6
+
+    # guardrail checksum of one real output
+    amp = _spectrum_amp_2d(x, n, "hann", interp)
+    log(f"spectrum checksum: {checksum(amp):.6f}")
+    peak_bin = int(np.argmax(np.asarray(amp[0])[1:])) + 1
+    log(f"peak bin: {peak_bin} (expect 32)")
+    if peak_bin != 32:
+        log("WARNING: peak bin mismatch — correctness guardrail failed")
+
+    sol_msps = specs["hbm_bytes_per_s"] / 8.0 / 1e6
+    result = {
+        "metric": "fused 1024-pt Hann spectrum throughput (1 chip)",
+        "value": round(msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / sol_msps, 4),
+    }
+    log(f"per-iter {per_iter*1e3:.3f} ms over batch {batch}x{n}")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

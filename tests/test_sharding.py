@@ -1,0 +1,147 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: collective logic testable without a pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from scipy import signal as sps
+
+from pragma_dsp_tpu.core import ComplexArray
+from pragma_dsp_tpu.ops.channelizer import pfb_channelize, pfb_taps
+from pragma_dsp_tpu.parallel import (
+    data_mesh, dist_fft, dist_fft_shape, dist_ifft,
+    permuted_to_natural_host, sharded_fir_filter, sharded_pfb_channelize,
+    sharded_spectrogram,
+)
+from pragma_dsp_tpu.stream import spectrogram
+from pragma_dsp_tpu.utils.fixtures import assert_snr, snr_db
+
+RNG = np.random.default_rng(50)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must spoof 8 cpu devices"
+    return data_mesh(8)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_dist_fft_matches_numpy(mesh):
+    n = 1 << 16  # 65536
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    xv = x.reshape(n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real), jnp.asarray(xv.imag))
+    p = dist_fft(xc, mesh)
+    got = permuted_to_natural_host(p)
+    ref = np.fft.fft(x)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 200  # f64 on cpu
+
+
+def test_dist_fft_roundtrip(mesh):
+    n = 1 << 14
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    xv = x.reshape(n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real), jnp.asarray(xv.imag))
+    rt = dist_ifft(dist_fft(xc, mesh), mesh)
+    got = (np.asarray(rt.real) + 1j * np.asarray(rt.imag)).reshape(n)
+    np.testing.assert_allclose(got, x, atol=1e-10)
+
+
+def test_dist_fft_million_point(mesh):
+    # The headline 1M-point distributed FFT (config: north star).
+    n = 1 << 20
+    n2, n1 = dist_fft_shape(n, 8)
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(np.complex64)
+    xv = x.reshape(n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real), jnp.asarray(xv.imag))
+    p = dist_fft(xc, mesh)
+    got = permuted_to_natural_host(p)
+    ref = np.fft.fft(x)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 90  # f32
+
+
+def test_sharded_fir_equals_lfilter(mesh):
+    x = RNG.standard_normal(8 * 1024)
+    taps = sps.firwin(127, 0.2)
+    y = sharded_fir_filter(jnp.asarray(x), jnp.asarray(taps), mesh)
+    ref = sps.lfilter(taps, 1.0, x)
+    assert_snr(ref, np.asarray(y), 120, "sharded fir")
+
+
+def test_sharded_fir_complex(mesh):
+    z = RNG.standard_normal(4096) + 1j * RNG.standard_normal(4096)
+    taps = sps.firwin(63, 0.3)
+    y = sharded_fir_filter(
+        ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag)),
+        jnp.asarray(taps), mesh)
+    ref = sps.lfilter(taps, 1.0, z)
+    assert_snr(ref.real, np.asarray(y.real), 120)
+    assert_snr(ref.imag, np.asarray(y.imag), 120)
+
+
+def test_sharded_spectrogram_matches_local(mesh):
+    n_fft, hop = 512, 128
+    x = RNG.standard_normal(8 * 2048)
+    r = sharded_spectrogram(jnp.asarray(x), n_fft, hop, "hann", 48000.0,
+                            mesh=mesh)
+    local = spectrogram(jnp.asarray(x), n_fft, hop, "hann", 48000.0)
+    f_local = local.amplitude.shape[0]
+    np.testing.assert_allclose(np.asarray(r.amplitude)[:f_local],
+                               np.asarray(local.amplitude), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r.peak.frequency)[:f_local],
+                               np.asarray(local.peak.frequency), atol=0)
+    # trailing frames = zero-padded stream end
+    assert r.amplitude.shape[0] == (8 * 2048) // hop
+
+
+def test_sharded_channelizer_matches_local(mesh):
+    c = 32
+    x = RNG.standard_normal(8 * c * 16) + 1j * RNG.standard_normal(8 * c * 16)
+    xc = ComplexArray(jnp.asarray(x.real), jnp.asarray(x.imag))
+    h = pfb_taps(c, 8)
+    ref = pfb_channelize(xc, c, h)
+    got = sharded_pfb_channelize(xc, c, h, mesh=mesh,
+                                 channels_sharded_out=False)
+    np.testing.assert_allclose(np.asarray(got.real), np.asarray(ref.real),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.imag), np.asarray(ref.imag),
+                               atol=1e-10)
+
+
+def test_sharded_channelizer_corner_turn(mesh):
+    # channels_sharded_out=True must give the same values with the
+    # channel axis sharded: compare against the frames-sharded result.
+    c = 32
+    x = RNG.standard_normal(8 * c * 8) + 1j * RNG.standard_normal(8 * c * 8)
+    xc = ComplexArray(jnp.asarray(x.real), jnp.asarray(x.imag))
+    a = sharded_pfb_channelize(xc, c, mesh=mesh, channels_sharded_out=False)
+    b = sharded_pfb_channelize(xc, c, mesh=mesh, channels_sharded_out=True)
+    np.testing.assert_allclose(np.asarray(b.real), np.asarray(a.real),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(b.imag), np.asarray(a.imag),
+                               atol=1e-10)
+    shard_shapes = {s.data.shape for s in b.real.addressable_shards}
+    assert shard_shapes == {(a.real.shape[0], c // 8)}
+
+
+def test_input_shardings_respected(mesh):
+    # Feed explicitly device-put sharded inputs; output must come back
+    # sharded without errors.
+    n = 1 << 14
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal((n2, n1))
+    sh = NamedSharding(mesh, P(None, "x"))
+    xr = jax.device_put(jnp.asarray(x), sh)
+    xi = jax.device_put(jnp.zeros_like(jnp.asarray(x)), sh)
+    p = dist_fft(ComplexArray(xr, xi), mesh)
+    out_shard_shapes = {s.data.shape for s in p.real.addressable_shards}
+    assert out_shard_shapes == {(n2 // 8, n1)}
