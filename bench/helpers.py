@@ -1,0 +1,61 @@
+"""Shared bench-suite plumbing (reference bench/reallife/helpers.ts).
+
+Re-exports the roofline BenchContext and provides the TS-side signal
+builders the reference benches use, plus the VERIFIED/WARNING check
+idiom (helpers.ts:117-123: correctness checks interleaved with timings,
+"guardrails, not bragging").
+
+Run any bench module directly: ``python bench/signals.py``. On this
+machine the default backend is the remote TPU; pass ``--cpu`` to force
+host CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def parse_args(extra=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--iters", type=int, default=None)
+    if extra:
+        extra(p)
+    args = p.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args
+
+
+def verified(name: str, ok: bool, detail: str = "") -> bool:
+    tag = "VERIFIED" if ok else "WARNING"
+    print(f"{tag}: {name}" + (f" ({detail})" if detail else ""))
+    return ok
+
+
+def sine(freq_hz, amplitude, phase_rad, sample_rate, n):
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    return amplitude * np.sin(2.0 * np.pi * freq_hz * t + phase_rad)
+
+
+def cosine(freq_hz, amplitude, phase_rad, sample_rate, n):
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    return amplitude * np.cos(2.0 * np.pi * freq_hz * t + phase_rad)
+
+
+def get_context(args, warmup=2, iters=10):
+    from pragma_dsp_tpu.utils.benchharness import BenchContext
+
+    return BenchContext(warmup=warmup,
+                        iters=args.iters if args.iters else iters)

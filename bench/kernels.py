@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""TPU kernel benches with RTT-amortized in-jit loop timing: Pallas FFT
+(permuted / natural / roundtrip), fused spectrum, FIR, resampler,
+channelizer, FM chain. The per-dispatch tunnel RTT (~27 ms here) is
+measured and subtracted; each number is a chained lax.fori_loop of the
+kernel, so it reflects pure device time."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from helpers import parse_args, verified
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pragma_dsp_tpu.core.complex import ComplexArray
+    from pragma_dsp_tpu.ops.fft_pallas import _fft_pallas_3d, _spectrum_amp_2d
+    from pragma_dsp_tpu.ops.fft_fourstep import fft_fourstep
+    from pragma_dsp_tpu.ops.fir import fir_filter
+    from pragma_dsp_tpu.ops.polyphase import resample_poly
+    from pragma_dsp_tpu.ops.channelizer import pfb_channelize
+    from pragma_dsp_tpu.utils.benchharness import device_specs
+
+    backend = jax.default_backend()
+    interp = backend != "tpu"
+    big = backend == "tpu"
+    B, N = (16384, 1024) if big else (256, 1024)
+    S = B * N
+    K = 40 if big else 2
+    rng = np.random.default_rng(0)
+    re = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    im = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    re3 = re.reshape(B, N // 128, 128)
+    im3 = im.reshape(B, N // 128, 128)
+
+    def timed(step, argtuple, k):
+        @jax.jit
+        def run(*a):
+            out = lax.fori_loop(0, k, lambda _, c: step(*c), a)
+            return sum(jnp.sum(t.reshape(-1)[::113]) for t in
+                       jax.tree_util.tree_leaves(out))
+        float(run(*argtuple))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(*argtuple))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rtt = timed(lambda v: (v * 1.000001,), (jnp.ones((8, 128)),), 400)
+    print(f"dispatch RTT: {rtt*1e3:.1f} ms")
+
+    def report(name, total, k, samples):
+        per = max((total - rtt) / k, 1e-9)
+        print(f"{name:32s} {per*1e3:8.3f} ms/iter  "
+              f"{samples/per/1e6:9.0f} MS/s")
+
+    t = timed(lambda r, i: _fft_pallas_3d(r, i, N, False, interp),
+              (re3, im3), K)
+    report("pallas fft permuted 1024", t, K, S)
+
+    def rt(r, i):
+        pr, pi = _fft_pallas_3d(r, i, N, False, interp)
+        return _fft_pallas_3d(pr, pi, N, True, interp)
+    t = timed(rt, (re3, im3), max(K // 2, 1))
+    report("pallas fft+ifft permuted", t, max(K // 2, 1), S)
+
+    t = timed(lambda x: (_spectrum_amp_2d(x, N, "hann", interp),), (re,), K)
+    report("pallas fused hann spectrum", t, K, S)
+
+    def fs(r, i):
+        o = fft_fourstep(ComplexArray(r, i))
+        return o.real, o.imag
+    t = timed(fs, (re, im), K)
+    report("jnp fourstep fft 1024", t, K, S)
+
+    # Shape-changing ops (resampler, channelizer, FIR) chain through a
+    # scalar feedback term so the loop body cannot be hoisted.
+    def chained(op):
+        def step(v, acc):
+            out = op(v)
+            s = sum(jnp.sum(t.reshape(-1)[::127]) for t in
+                    jax.tree_util.tree_leaves(out))
+            return v + s * jnp.asarray(1e-30, v.dtype), acc + s
+        return step
+
+    taps = jnp.asarray(np.hamming(127) / np.hamming(127).sum(),
+                       dtype=jnp.float32)
+    sig = re.reshape(-1)[: 1 << 22] if big else re.reshape(-1)
+    acc0 = jnp.zeros((), jnp.float32)
+    k4 = max(K // 4, 1)
+    t = timed(chained(lambda v: fir_filter(v, taps, "overlap_save")),
+              (sig, acc0), k4)
+    report(f"overlap-save FIR127 {sig.shape[0]/1e6:.1f}M", t, k4,
+           sig.shape[0])
+
+    k8 = max(K // 8, 1)
+    t = timed(chained(lambda v: resample_poly(v, 147, 160, num_taps=1177)),
+              (sig, acc0), k8)
+    report("resample 48k->44.1k", t, k8, sig.shape[0])
+
+    c = 256
+    iq_len = (sig.shape[0] // c) * c
+    iq_sig = sig[:iq_len]
+    t = timed(chained(lambda v: pfb_channelize(ComplexArray(v, v * 0.5), c)),
+              (iq_sig, acc0), k8)
+    report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k8, iq_len)
+
+    specs = device_specs()
+    print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} GB/s")
+
+
+if __name__ == "__main__":
+    main()

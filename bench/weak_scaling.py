@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Weak-scaling bench: per-device throughput of the sharded pipelines at
+D = 1, 2, 4, 8 devices (BASELINE north star: >=90% weak-scaling
+efficiency). On this machine it runs on the virtual CPU mesh (set
+XLA_FLAGS=--xla_force_host_platform_device_count=8 --cpu); on a pod it
+measures real ICI/DCN behaviour with the same code."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from helpers import parse_args, verified
+
+
+def main():
+    args = parse_args(lambda p: p.add_argument(
+        "--devices", default="1,2,4,8"))
+    if os.environ.get("JAX_PLATFORMS") != "tpu" and "--cpu" not in os.sys.argv:
+        # default to the virtual cpu mesh when not on a pod
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pragma_dsp_tpu.core.complex import ComplexArray
+    from pragma_dsp_tpu.parallel import (
+        data_mesh, dist_fft, dist_fft_shape, sharded_pfb_channelize,
+        sharded_spectrogram)
+
+    avail = len(jax.devices())
+    dev_counts = [int(d) for d in args.devices.split(",") if int(d) <= avail]
+    rng = np.random.default_rng(0)
+
+    def timed(fn, k=5):
+        out = fn()
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                out = fn()
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / k)
+        return best
+
+    on_tpu = jax.default_backend() == "tpu"
+    print("== weak scaling: sharded spectrogram (per-device load fixed) ==")
+    per_dev = (1 << 17) if on_tpu else (1 << 14)
+    n_fft, hop = (1024, 256) if on_tpu else (256, 64)
+    base = None
+    for d in dev_counts:
+        mesh = data_mesh(d)
+        x = rng.standard_normal(d * per_dev).astype(np.float32)
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x")))
+        t = timed(lambda: sharded_spectrogram(
+            xs, n_fft, hop, "hann", 48e3, mesh=mesh).amplitude)
+        thr = d * per_dev / t / 1e6
+        if base is None:
+            base = thr / d
+        print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
+              f"eff {100*thr/(base*d):.0f}%)")
+
+    print("== weak scaling: 256-ch sharded PFB channelizer ==")
+    c = 256
+    per_dev = c * (256 if on_tpu else 16)
+    base = None
+    for d in dev_counts:
+        if c % d != 0:
+            continue
+        mesh = data_mesh(d)
+        z = rng.standard_normal(d * per_dev).astype(np.float32)
+        zi = rng.standard_normal(d * per_dev).astype(np.float32)
+        sh = NamedSharding(mesh, P("x"))
+        iq = ComplexArray(jax.device_put(jnp.asarray(z), sh),
+                          jax.device_put(jnp.asarray(zi), sh))
+        t = timed(lambda: sharded_pfb_channelize(
+            iq, c, mesh=mesh, channels_sharded_out=True).real)
+        thr = d * per_dev / t / 1e6
+        if base is None:
+            base = thr / d
+        print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
+              f"eff {100*thr/(base*d):.0f}%)")
+
+    print("== strong scaling: distributed FFT ==")
+    n = (1 << 20) if on_tpu else (1 << 16)
+    for d in dev_counts:
+        try:
+            n2, n1 = dist_fft_shape(n, d)
+        except ValueError:
+            continue
+        mesh = data_mesh(d)
+        z = rng.standard_normal((n2, n1)).astype(np.float32)
+        sh = NamedSharding(mesh, P(None, "x"))
+        zc = ComplexArray(jax.device_put(jnp.asarray(z), sh),
+                          jax.device_put(jnp.zeros((n2, n1), jnp.float32), sh))
+        t = timed(lambda: dist_fft(zc, mesh).real, k=3)
+        print(f"D={d}: {t*1e3:8.2f} ms  ({n/t/1e6:7.1f} MS/s)")
+
+
+if __name__ == "__main__":
+    main()

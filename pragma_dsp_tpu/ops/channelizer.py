@@ -56,8 +56,10 @@ def _branch_filter(x: ComplexArray, h: np.ndarray, channels: int
     c = channels
     k = h.shape[0]
     t_taps = -(-k // c)
-    hp = np.zeros((t_taps, c), dtype=np.float64)
-    hp.ravel()[:k] = h          # hp[t, p] = h[t*C + p]
+    # hp[t, p] = h[t*C + p]; built with jnp so traced taps work too
+    # (e.g. taps passed as a runtime argument under shard_map/jit).
+    hp_flat = jnp.zeros((t_taps * c,), dtype=jnp.asarray(h).dtype)
+    hp = hp_flat.at[:k].set(jnp.asarray(h)).reshape(t_taps, c)
     length = x.real.shape[-1]
     m = length // c
     batch = x.real.shape[:-1]
@@ -88,7 +90,7 @@ def pfb_channelize(x, channels: int, taps=None,
     xc = as_complex_array(x)
     if taps is None:
         taps = pfb_taps(channels, taps_per_branch)
-    taps = np.asarray(taps, dtype=np.float64)
+    taps = jnp.asarray(taps)
     if xc.real.shape[-1] % channels != 0:
         raise ValueError(
             f"input length {xc.real.shape[-1]} not a multiple of "
@@ -121,7 +123,7 @@ def pfb_channelize_step(state: PfbState, chunk, channels: int, taps=None,
     xc = as_complex_array(chunk)
     if taps is None:
         taps = pfb_taps(channels, taps_per_branch)
-    t_taps = -(-np.asarray(taps).shape[0] // channels)
+    t_taps = -(-int(jnp.shape(jnp.asarray(taps))[0]) // channels)
     hist = (t_taps - 1) * channels
     buf = ComplexArray(
         jnp.concatenate([state.tail_re, xc.real], axis=-1),

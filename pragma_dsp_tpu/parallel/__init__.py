@@ -11,6 +11,7 @@ from .dist_fft import (
     permuted_to_natural_host,
 )
 from .mesh import Mesh, NamedSharding, P, data_mesh, make_mesh
+from .multihost import barrier, init_multihost, is_multihost
 from .sharded import (
     sharded_fir_filter,
     sharded_pfb_channelize,
@@ -30,4 +31,7 @@ __all__ = [
     "sharded_fir_filter",
     "sharded_pfb_channelize",
     "sharded_spectrogram",
+    "barrier",
+    "init_multihost",
+    "is_multihost",
 ]

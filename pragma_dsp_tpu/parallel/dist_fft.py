@@ -56,27 +56,19 @@ def _twiddles_fwd(n, n2, n1, sign, dtype):
     return jnp.asarray(tc, dtype), jnp.asarray(ts, dtype)
 
 
-def dist_fft(x, mesh: Mesh, axis: str = "x",
-             inverse: bool = False) -> ComplexArray:
-    """Distributed FFT of a (N2, N1) view of a length N2*N1 signal.
+@functools.lru_cache(maxsize=128)
+def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int,
+                    dtype_name: str, inverse: bool):
+    """Build + jit the shard_map'd transform once per static signature,
+    so repeated dist_fft calls hit the compilation cache instead of
+    retracing (shard_map closures are not cached by identity)."""
+    import jax.numpy as _jnp
 
-    forward: input (N2, N1) natural (x[n1 + N1*n2] at [n2, n1]), n1-axis
-    sharded; output (N2, N1) permuted (X[k2 + N2*k1] at [k2, k1]),
-    k2-axis sharded.
-    inverse: exactly the reverse (consumes permuted, emits natural),
-    with 1/N scaling.
-
-    Exactly two collectives per transform: none — the corner turn is the
-    single tiled all_to_all in the middle.
-    """
-    xc = as_complex_array(x)
-    n2, n1 = xc.real.shape[-2], xc.real.shape[-1]
     n = n2 * n1
     d = mesh.shape[axis]
-    if n1 % d != 0 or n2 % d != 0:
-        raise ValueError(f"(N2={n2}, N1={n1}) must both divide by D={d}")
     sign = 1.0 if inverse else -1.0
-    tc_full, ts_full = _twiddles_fwd(n, n2, n1, sign, xc.real.dtype)
+    dtype = _jnp.dtype(dtype_name)
+    tc_full, ts_full = _twiddles_fwd(n, n2, n1, sign, dtype)
 
     if inverse:
         in_spec = (P(axis, None), P(axis, None))
@@ -124,8 +116,28 @@ def dist_fft(x, mesh: Mesh, axis: str = "x",
             o = _fft(ComplexArray(tr, ti), axis=-1)
             return o.real, o.imag
 
-    fn = shard_map(body_fixed, mesh=mesh, in_specs=in_spec,
-                   out_specs=out_spec, check_vma=False)
+    return jax.jit(shard_map(body_fixed, mesh=mesh, in_specs=in_spec,
+                             out_specs=out_spec, check_vma=False))
+
+
+def dist_fft(x, mesh: Mesh, axis: str = "x",
+             inverse: bool = False) -> ComplexArray:
+    """Distributed FFT of a (N2, N1) view of a length N2*N1 signal.
+
+    forward: input (N2, N1) natural (x[n1 + N1*n2] at [n2, n1]), n1-axis
+    sharded; output (N2, N1) permuted (X[k2 + N2*k1] at [k2, k1]),
+    k2-axis sharded.
+    inverse: exactly the reverse (consumes permuted, emits natural),
+    with 1/N scaling.
+
+    One collective per transform: the tiled all_to_all corner turn.
+    """
+    xc = as_complex_array(x)
+    n2, n1 = xc.real.shape[-2], xc.real.shape[-1]
+    d = mesh.shape[axis]
+    if n1 % d != 0 or n2 % d != 0:
+        raise ValueError(f"(N2={n2}, N1={n1}) must both divide by D={d}")
+    fn = _build_dist_fft(mesh, axis, n2, n1, str(xc.real.dtype), inverse)
     ore, oim = fn(xc.real, xc.imag)
     return ComplexArray(ore, oim)
 

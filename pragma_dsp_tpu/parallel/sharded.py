@@ -6,6 +6,9 @@ embarrassingly-parallel axis (batch / frames / channels) with shard_map,
 and exchange only what the math requires — the K-1-sample filter halo
 via `ppermute` (neighbour traffic over ICI), the channelizer's
 frame->channel reshard via one `all_to_all`.
+
+Every entry point builds its shard_map'd + jitted program once per
+static signature (lru_cache): repeated calls hit the compilation cache.
 """
 
 from __future__ import annotations
@@ -16,17 +19,49 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.complex import Array, ComplexArray, as_complex_array
 from ..ops.channelizer import pfb_channelize, pfb_taps
 from ..ops.fir import fir_filter
-from ..public.spectrum import SpectrumResult
+from ..public.spectrum import SpectrumPeak, SpectrumResult
 from ..stream.stft import spectrogram as _spectrogram
+from ..xform.fourier import bin_frequencies
 
 __all__ = ["sharded_fir_filter", "sharded_spectrogram",
            "sharded_pfb_channelize"]
+
+
+def _last_axis_spec(nd: int, axis: str) -> P:
+    return P(*([None] * (nd - 1) + [axis]))
+
+
+@functools.lru_cache(maxsize=128)
+def _build_sharded_fir(mesh: Mesh, axis: str, k: int, nd: int, method: str,
+                       is_complex: bool):
+    d = mesh.shape[axis]
+
+    def one_plane(xb, taps):
+        tail = xb[..., xb.shape[-1] - (k - 1):]
+        perm = [(i, (i + 1) % d) for i in range(d)]
+        halo = jax.lax.ppermute(tail, axis, perm)
+        is_first = jax.lax.axis_index(axis) == 0
+        halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
+        buf = jnp.concatenate([halo, xb], axis=-1)
+        return fir_filter(buf, taps, method)[..., k - 1:]
+
+    spec = _last_axis_spec(nd, axis)
+    tspec = P(None)
+    if is_complex:
+        fn = shard_map(
+            lambda r, i, taps: (one_plane(r, taps), one_plane(i, taps)),
+            mesh=mesh, in_specs=(spec, spec, tspec),
+            out_specs=(spec, spec), check_vma=False)
+    else:
+        fn = shard_map(one_plane, mesh=mesh, in_specs=(spec, tspec),
+                       out_specs=spec, check_vma=False)
+    return jax.jit(fn)
 
 
 def sharded_fir_filter(x, taps, mesh: Mesh, axis: str = "x",
@@ -41,33 +76,49 @@ def sharded_fir_filter(x, taps, mesh: Mesh, axis: str = "x",
     state.
     """
     taps = jnp.asarray(taps)
-    k = taps.shape[0]
-    d = mesh.shape[axis]
-
-    def body(xb):
-        # xb: [..., L/D] local block.
-        tail = xb[..., xb.shape[-1] - (k - 1):]
-        perm = [(i, (i + 1) % d) for i in range(d)]
-        halo = jax.lax.ppermute(tail, axis, perm)
-        is_first = jax.lax.axis_index(axis) == 0
-        halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
-        buf = jnp.concatenate([halo, xb], axis=-1)
-        return fir_filter(buf, taps, method)[..., k - 1:]
-
-    spec = P(*([None] * (jnp.asarray(x).ndim - 1) + [axis])) \
-        if not isinstance(x, ComplexArray) else None
+    k = int(taps.shape[0])
     if isinstance(x, ComplexArray):
         nd = x.real.ndim
-        pspec = P(*([None] * (nd - 1) + [axis]))
-        fn = shard_map(lambda r, i: (body(r), body(i)), mesh=mesh,
-                       in_specs=(pspec, pspec), out_specs=(pspec, pspec),
-                       check_vma=False)
-        ore, oim = fn(x.real, x.imag)
+        fn = _build_sharded_fir(mesh, axis, k, nd, method, True)
+        ore, oim = fn(x.real, x.imag, taps)
         return ComplexArray(ore, oim)
     x = jnp.asarray(x)
-    fn = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+    if jnp.iscomplexobj(x):
+        return sharded_fir_filter(ComplexArray(x.real, x.imag), taps, mesh,
+                                  axis, method)
+    fn = _build_sharded_fir(mesh, axis, k, x.ndim, method, False)
+    return fn(x, taps)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_sharded_spectrogram(mesh: Mesh, axis: str, n_fft: int, hop: int,
+                               window: str, sample_rate: float, sides: str,
+                               nd: int):
+    d = mesh.shape[axis]
+    overlap = n_fft - hop
+
+    def body(xb):
+        # Pull the first `overlap` samples of the RIGHT neighbour so the
+        # frames at our block boundary are complete; the last device
+        # zero-pads (its trailing frames treat the stream end as zeros).
+        head = xb[..., :overlap]
+        perm = [(i, (i - 1) % d) for i in range(d)]
+        halo = jax.lax.ppermute(head, axis, perm)
+        is_last = jax.lax.axis_index(axis) == d - 1
+        halo = jnp.where(is_last, jnp.zeros_like(halo), halo)
+        buf = jnp.concatenate([xb, halo], axis=-1)
+        r = _spectrogram(buf, n_fft, hop, window, sample_rate, sides)
+        return (r.amplitude, r.phase, r.peak.index, r.peak.frequency,
+                r.peak.amplitude, r.peak.phase)
+
+    in_spec = _last_axis_spec(nd, axis)
+    frame_spec = P(*([None] * (nd - 1) + [axis, None]))
+    peak_spec = _last_axis_spec(nd, axis)
+    fn = shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                   out_specs=(frame_spec, frame_spec, peak_spec, peak_spec,
+                              peak_spec, peak_spec),
                    check_vma=False)
-    return fn(x)
+    return jax.jit(fn)
 
 
 def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
@@ -77,10 +128,9 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
     """Spectrogram with the time axis sharded in contiguous blocks.
 
     Frames never straddle shards thanks to a (n_fft - hop)-sample halo
-    pulled from the right neighbour with `ppermute` (the same exchange
-    overlap-save uses). Per-shard frame counts stay static, so the whole
-    thing jits. Local block length must be a multiple of hop.
-    Result frames are sharded over ``axis``.
+    pulled from the right neighbour with `ppermute`. Per-shard frame
+    counts stay static, so the whole thing jits. Local block length must
+    be a multiple of hop. Result frames are sharded over ``axis``.
 
     Emits L/hop frames total: the first 1 + (L - n_fft)/hop match the
     single-device spectrogram exactly; the trailing (n_fft-hop)/hop
@@ -90,40 +140,12 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
     hop = hop if hop is not None else n_fft // 4
     x = jnp.asarray(x)
     d = mesh.shape[axis]
-    length = x.shape[-1]
-    if (length // d) % hop != 0:
+    if (x.shape[-1] // d) % hop != 0:
         raise ValueError(
-            f"local block {length // d} must be a multiple of hop {hop}")
-    overlap = n_fft - hop
-
-    def body(xb):
-        # Pull the first `overlap` samples of the RIGHT neighbour so the
-        # frames at our block boundary are complete; the last device
-        # zero-pads (those trailing frames are dropped to keep counts
-        # static, matching frame_signal's drop-partial rule only at the
-        # stream end).
-        head = xb[..., :overlap]
-        perm = [(i, (i - 1) % d) for i in range(d)]
-        halo = jax.lax.ppermute(head, axis, perm)
-        is_last = jax.lax.axis_index(axis) == d - 1
-        halo = jnp.where(is_last, jnp.zeros_like(halo), halo)
-        buf = jnp.concatenate([xb, halo], axis=-1)
-        r = _spectrogram(buf, n_fft, hop, window, sample_rate, sides)
-        return r.amplitude, r.phase, r.peak.index, r.peak.frequency, \
-            r.peak.amplitude, r.peak.phase
-
-    nd = x.ndim
-    in_spec = P(*([None] * (nd - 1) + [axis]))
-    frame_spec = P(*([None] * (nd - 1) + [axis, None]))
-    peak_spec = P(*([None] * (nd - 1) + [axis]))
-    fn = shard_map(body, mesh=mesh, in_specs=(in_spec,),
-                   out_specs=(frame_spec, frame_spec, peak_spec, peak_spec,
-                              peak_spec, peak_spec),
-                   check_vma=False)
+            f"local block {x.shape[-1] // d} must be a multiple of hop {hop}")
+    fn = _build_sharded_spectrogram(mesh, axis, n_fft, hop, window,
+                                    float(sample_rate), sides, x.ndim)
     amp, ph, pidx, pfreq, pamp, pph = fn(x)
-    from ..xform.fourier import bin_frequencies
-    from ..public.spectrum import SpectrumPeak
-
     freqs = bin_frequencies(n_fft, sample_rate, sides, dtype=amp.dtype)
     return SpectrumResult(
         frequencies=freqs, amplitude=amp, phase=ph,
@@ -131,28 +153,14 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
                           phase=pph))
 
 
-def sharded_pfb_channelize(x, channels: int, taps=None,
-                           taps_per_branch: int = 8, *, mesh: Mesh,
-                           axis: str = "x",
-                           channels_sharded_out: bool = True) -> ComplexArray:
-    """PFB channelizer with the time axis sharded; one all_to_all corner
-    turn reshards the output so each device owns C/D whole channels
-    (BASELINE config 5's layout for per-channel downstream DSP).
-
-    Input [..., L] complex, L/D a multiple of C. Branch history crosses
-    shard boundaries via a (T-1)*C-sample `ppermute` halo, so the result
-    equals the single-device channelizer exactly.
-    """
-    xc = as_complex_array(x)
-    if taps is None:
-        taps = pfb_taps(channels, taps_per_branch)
-    taps = np.asarray(taps, dtype=np.float64)
-    t_taps = -(-taps.shape[0] // channels)
-    hist = (t_taps - 1) * channels
+@functools.lru_cache(maxsize=128)
+def _build_sharded_pfb(mesh: Mesh, axis: str, channels: int, t_taps: int,
+                       taps_per_branch: int, nd: int,
+                       channels_sharded_out: bool):
     d = mesh.shape[axis]
+    hist = (t_taps - 1) * channels
 
-    def body(xr, xi):
-        # halo: previous block's last (T-1)*C samples (zero for device 0)
+    def body(xr, xi, taps):
         perm = [(i, (i + 1) % d) for i in range(d)]
         hr = jax.lax.ppermute(xr[..., xr.shape[-1] - hist:], axis, perm)
         hi = jax.lax.ppermute(xi[..., xi.shape[-1] - hist:], axis, perm)
@@ -174,13 +182,34 @@ def sharded_pfb_channelize(x, channels: int, taps=None,
                                     concat_axis=yi.ndim - 2, tiled=True)
         return yr, yi
 
-    nd = xc.real.ndim
-    in_spec = P(*([None] * (nd - 1) + [axis]))
+    in_spec = _last_axis_spec(nd, axis)
     if channels_sharded_out:
         out_spec = P(*([None] * (nd - 1) + [None, axis]))
     else:
         out_spec = P(*([None] * (nd - 1) + [axis, None]))
-    fn = shard_map(body, mesh=mesh, in_specs=(in_spec, in_spec),
+    fn = shard_map(body, mesh=mesh, in_specs=(in_spec, in_spec, P(None)),
                    out_specs=(out_spec, out_spec), check_vma=False)
-    ore, oim = fn(xc.real, xc.imag)
+    return jax.jit(fn)
+
+
+def sharded_pfb_channelize(x, channels: int, taps=None,
+                           taps_per_branch: int = 8, *, mesh: Mesh,
+                           axis: str = "x",
+                           channels_sharded_out: bool = True) -> ComplexArray:
+    """PFB channelizer with the time axis sharded; one all_to_all corner
+    turn reshards the output so each device owns C/D whole channels
+    (BASELINE config 5's layout for per-channel downstream DSP).
+
+    Input [..., L] complex, L/D a multiple of C. Branch history crosses
+    shard boundaries via a (T-1)*C-sample `ppermute` halo, so the result
+    equals the single-device channelizer exactly.
+    """
+    xc = as_complex_array(x)
+    if taps is None:
+        taps = pfb_taps(channels, taps_per_branch)
+    taps = jnp.asarray(np.asarray(taps, dtype=np.float64))
+    t_taps = -(-int(taps.shape[0]) // channels)
+    fn = _build_sharded_pfb(mesh, axis, channels, t_taps, taps_per_branch,
+                            xc.real.ndim, channels_sharded_out)
+    ore, oim = fn(xc.real, xc.imag, taps)
     return ComplexArray(ore, oim)

@@ -1,6 +1,9 @@
-"""Utilities: fixture loading / SNR harness, roofline bench harness."""
+"""Utilities: fixture/SNR harness, roofline bench harness, profiling,
+sanitizer mode, checkpointing."""
 
 from .benchharness import BenchContext, BenchResult, checksum, device_specs
+from .checkpoint import restore_state, save_state
+from .debug import check_finite, debug_nans, sanitizer_mode
 from .fixtures import (
     assert_close,
     assert_snr,
@@ -10,6 +13,7 @@ from .fixtures import (
     rms_error,
     snr_db,
 )
+from .profiling import annotate, timed, trace
 
 __all__ = [
     "BenchContext",
@@ -23,4 +27,12 @@ __all__ = [
     "max_abs_error",
     "rms_error",
     "snr_db",
+    "save_state",
+    "restore_state",
+    "check_finite",
+    "debug_nans",
+    "sanitizer_mode",
+    "annotate",
+    "timed",
+    "trace",
 ]
