@@ -26,6 +26,7 @@ from .fft_pallas import (
     spectrum_amplitude_pallas,
 )
 from .fir import FirState, fir_filter, fir_step, fir_stream_init, overlap_save_filter
+from .rfft import irfft, paired_spectrum_amplitude, rfft
 from .polyphase import (
     decimate,
     design_lowpass,
@@ -41,6 +42,9 @@ __all__ = [
     "set_fft_impl",
     "get_fft_impl",
     "fft_fourstep",
+    "rfft",
+    "irfft",
+    "paired_spectrum_amplitude",
     "ifft_fourstep",
     "fft_pallas",
     "ifft_pallas",
