@@ -36,7 +36,7 @@ def main() -> int:
     import jax.numpy as jnp
     from jax import lax
 
-    from pragma_dsp_tpu.ops.fft_pallas import _spectrum_amp_2d, _fft_pallas_3d
+    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amplitude_pallas
     from pragma_dsp_tpu.utils.benchharness import checksum, device_specs
 
     backend = jax.default_backend()
@@ -56,10 +56,11 @@ def main() -> int:
     interp = backend != "tpu"
 
     def pipeline(xv):
-        # fused window->FFT->|X|->1/N kernel; output feeds back so the
-        # loop cannot be elided (values renormalised to stay bounded).
-        amp = _spectrum_amp_2d(xv, n, "hann", interp)
-        return xv + amp * jnp.asarray(1e-6, xv.dtype)
+        # fused window->FFT->|X|->scaling kernel producing the complete
+        # one-sided amplitude product; a scalar feedback term keeps the
+        # loop body live without adding a memory pass.
+        amp = spectrum_amplitude_pallas(xv, n, "hann", "one", interp)
+        return xv + jnp.sum(amp[::117, 0]) * jnp.asarray(1e-30, xv.dtype)
 
     def timed(step, arg, iters):
         @jax.jit
@@ -84,7 +85,7 @@ def main() -> int:
     msps = samples / per_iter / 1e6
 
     # guardrail checksum of one real output
-    amp = _spectrum_amp_2d(x, n, "hann", interp)
+    amp = spectrum_amplitude_pallas(x, n, "hann", "one", interp)
     log(f"spectrum checksum: {checksum(amp):.6f}")
     peak_bin = int(np.argmax(np.asarray(amp[0])[1:])) + 1
     log(f"peak bin: {peak_bin} (expect 32)")

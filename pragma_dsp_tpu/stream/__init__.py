@@ -7,6 +7,7 @@ from .stft import (
     frame_signal,
     istft,
     spectrogram,
+    spectrogram_amplitude,
     stft,
     stft_step,
     stft_stream_init,
@@ -21,6 +22,7 @@ __all__ = [
     "frame_signal",
     "istft",
     "spectrogram",
+    "spectrogram_amplitude",
     "stft",
     "stft_step",
     "stft_stream_init",

@@ -94,11 +94,31 @@ def istft(spec: ComplexArray, hop: int, window: str = "hann",
     return sig
 
 
+def spectrogram_amplitude(x: Array, n_fft: int, hop: Optional[int] = None,
+                          window: str = "hann", sides: str = "one") -> Array:
+    """Amplitude-only spectrogram on the fused fast path.
+
+    Skips phase/peak bookkeeping and runs the whole
+    window -> FFT -> |X| -> scaling pipeline as ONE Pallas kernel per
+    frame batch (ops.spectrum_amplitude_pallas) — the high-throughput
+    choice when only magnitudes are needed (waterfalls, detectors).
+    Scaling matches spectrum() exactly. Returns [..., F, bins].
+    """
+    from ..ops.fft_pallas import spectrum_amplitude_pallas
+
+    hop = hop if hop is not None else n_fft // 4
+    frames = frame_signal(x, n_fft, hop)
+    return spectrum_amplitude_pallas(frames, n_fft, window, sides)
+
+
 def spectrogram(x: Array, n_fft: int, hop: Optional[int] = None,
                 window: str = "hann", sample_rate: float = 1.0,
                 sides: str = "one") -> SpectrumResult:
     """Spectrum-per-frame with the exact beginner-rung scaling and peak
-    rules applied to every frame (batched spectrum over the frame axis)."""
+    rules applied to every frame (batched spectrum over the frame axis).
+
+    For magnitude-only workloads prefer :func:`spectrogram_amplitude`
+    (fused single-kernel path)."""
     spec = stft(x, n_fft, hop, window)
     mags = magnitude(spec)
     angs = phase(spec)

@@ -95,3 +95,14 @@ def test_stft_step_rejects_misaligned_chunk():
     state = stft_stream_init(256, 64)
     with pytest.raises(ValueError):
         stft_step(state, jnp.zeros(100), 256, 64)
+
+
+def test_spectrogram_amplitude_fast_path_matches_full():
+    from pragma_dsp_tpu.stream import spectrogram_amplitude
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(8192).astype(np.float32)
+    fast = np.asarray(spectrogram_amplitude(jnp.asarray(x), 1024, 256, "hann"))
+    full = spectrogram(jnp.asarray(x), 1024, 256, "hann", 48000.0)
+    np.testing.assert_allclose(fast, np.asarray(full.amplitude),
+                               rtol=0, atol=2e-6)
