@@ -3,6 +3,8 @@
 
 from .fourier import (
     FFT,
+    coherent_gain,
+    enbw,
     FftSides,
     WindowType,
     apply_window,
@@ -22,6 +24,8 @@ __all__ = [
     "apply_window",
     "bin_frequencies",
     "create_window",
+    "coherent_gain",
+    "enbw",
     "fft_shift",
     "fft_shift_complex",
     "magnitude",

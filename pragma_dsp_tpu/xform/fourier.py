@@ -126,6 +126,19 @@ def fft_shift_complex(x: ComplexArray, axis: int = -1) -> ComplexArray:
     return ComplexArray(fft_shift(xc.real, axis), fft_shift(xc.imag, axis))
 
 
+def coherent_gain(window_type: str, size: int) -> float:
+    """Window coherent gain sum(w)/N (reference windows_dsp reference data,
+    scripts/gen_reallife_refs.py ENBW/CG block)."""
+    w = window_values(window_type, size)
+    return float(np.sum(w) / size)
+
+
+def enbw(window_type: str, size: int) -> float:
+    """Equivalent noise bandwidth N*sum(w^2)/sum(w)^2 in bins."""
+    w = window_values(window_type, size)
+    return float(size * np.sum(w * w) / np.sum(w) ** 2)
+
+
 def bin_frequencies(size: int, sample_rate: float, sides: str = "one",
                     dtype=jnp.float32) -> Array:
     """Bin index -> Hz axis (reference fourier.ts:147-165): one-sided has

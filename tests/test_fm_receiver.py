@@ -71,3 +71,19 @@ def test_batched_chain():
         spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
         freqs = np.fft.rfftfreq(len(a), 1 / 48000.0)
         assert abs(freqs[np.argmax(spec[1:]) + 1] - f) < 100.0
+
+
+def test_am_receiver_recovers_tone():
+    from pragma_dsp_tpu.models import am_receive
+
+    fs = 960e3
+    n = int(fs * 0.02)
+    t = np.arange(n) / fs
+    msg = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    iq = (1.0 + msg) * np.exp(1j * 2 * np.pi * 5000.0 * t)
+    audio = np.asarray(am_receive(ComplexArray(
+        jnp.asarray(iq.real, jnp.float64), jnp.asarray(iq.imag, jnp.float64))))
+    a = audio[300:-300]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    freqs = np.fft.rfftfreq(len(a), 1 / 48000.0)
+    assert abs(freqs[np.argmax(spec[1:]) + 1] - 1000.0) < 60.0

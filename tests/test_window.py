@@ -33,3 +33,11 @@ def test_invalid_inputs():
         window_values("hann", 0)
     with pytest.raises(ValueError):
         window_values("kaiser", 8)
+
+
+def test_coherent_gain_and_enbw_match_goldens(windows_dsp_refs):
+    from pragma_dsp_tpu.xform import coherent_gain, enbw
+
+    for c in windows_dsp_refs["cases"]:
+        assert abs(coherent_gain(c["type"], c["n"]) - c["coherentGain"]) < 1e-12
+        assert abs(enbw(c["type"], c["n"]) - c["enbw"]) < 1e-12
