@@ -57,10 +57,12 @@ def main() -> int:
 
     def pipeline(xv):
         # fused window->FFT->|X|->scaling kernel producing the complete
-        # one-sided amplitude product; a scalar feedback term keeps the
-        # loop body live without adding a memory pass.
+        # one-sided amplitude product; a one-element dynamic-update-slice
+        # keeps the loop body live (carry depends on the output) without
+        # the full-array elementwise pass a broadcast add would cost.
         amp = spectrum_amplitude_pallas(xv, n, "hann", "one", interp)
-        return xv + jnp.sum(amp[::117, 0]) * jnp.asarray(1e-30, xv.dtype)
+        probe = xv[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, xv.dtype)
+        return lax.dynamic_update_slice(xv, probe, (0, 0))
 
     def timed(step, arg, iters):
         @jax.jit

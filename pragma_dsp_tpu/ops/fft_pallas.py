@@ -316,6 +316,188 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexA
 
 
 # ── fused windowed spectrum amplitude ────────────────────────────────
+#
+# One-sided path (the headline product): a tb-major kernel that never
+# leaves the (batch-sublane, lane) layout. The four-step sublane DFT is
+# done on the VPU as log2(N2) DIF radix-2 stages built from sublane
+# rolls + masked selects (an MXU dot_general over the tiny N2 axis
+# measured ~2.7x slower on v5e: its (k2, tb, l) output layout forces a
+# sublane-granularity relayout). DIF emits bit-reversed sublane rows;
+# the twiddle grid is pre-permuted to match and the amplitude rows are
+# un-reversed in-kernel with rolls (bit reversal is an involution). The
+# lane-dim DFT contracts only the 64 columns covering one-sided bins
+# (k = u + N2*v < N/2 ⟺ v < 64), and the Nyquist bin (u=0, v=64) is a
+# lane reduction of the u=0 row against (−1)^l.
+
+
+def _bitrev_perm(n2: int) -> np.ndarray:
+    bits = n2.bit_length() - 1
+    r = np.arange(n2)
+    out = np.zeros(n2, dtype=np.int64)
+    for b in range(bits):
+        out = (out << 1) | ((r >> b) & 1)
+    return out
+
+
+def _sub_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _dif_stage_consts(n2: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row twiddle (cos, sin) for every DIF stage, stacked (S, n2, 1).
+
+    Stage s (block m = n2 >> s, half d = m/2): top rows (j < d) pass
+    through (c=1, s=0); bottom rows multiply by W_m^j (j = row-in-block
+    − d), the classic decimation-in-frequency split."""
+    bits = n2.bit_length() - 1
+    cs = np.ones((bits, n2, 1))
+    ss = np.zeros((bits, n2, 1))
+    for s in range(bits):
+        m = n2 >> s
+        d = m // 2
+        for r in range(n2):
+            j = r % m
+            if j >= d:
+                ang = sign * 2.0 * np.pi * (j - d) / m
+                cs[s, r, 0] = np.cos(ang)
+                ss[s, r, 0] = np.sin(ang)
+    return cs, ss
+
+
+def _dif_sublane_real(xr, n2: int, cs_ref, ss_ref):
+    """Forward DFT_n2 over the sublane axis of real (tb, n2, n1) via DIF
+    radix-2 roll/select stages. Returns (re, im) with rows in
+    BIT-REVERSED u order (row r holds output u = bitrev(r))."""
+    bits = n2.bit_length() - 1
+    ii = _sub_iota(xr.shape)
+    yr, yi = xr, None
+    for s in range(bits):
+        m = n2 >> s
+        d = m // 2
+        top = (ii % m) < d
+        c = cs_ref[s]
+        sn = ss_ref[s]
+        rp_r = pltpu.roll(yr, d, 1)
+        rm_r = pltpu.roll(yr, n2 - d, 1)
+        pre_r = jnp.where(top, yr + rm_r, rp_r - yr)
+        if yi is None:
+            # first stage of a real input: imaginary appears via twiddle
+            yr = pre_r * c
+            yi = pre_r * sn
+        else:
+            rp_i = pltpu.roll(yi, d, 1)
+            rm_i = pltpu.roll(yi, n2 - d, 1)
+            pre_i = jnp.where(top, yi + rm_i, rp_i - yi)
+            yr = pre_r * c - pre_i * sn
+            yi = pre_r * sn + pre_i * c
+    if yi is None:  # n2 == 1
+        yi = jnp.zeros_like(yr)
+    return yr, yi
+
+
+def _unbitrev_rows(amp, n2: int):
+    """Undo the DIF bit-reversal on the sublane axis with rolls+masks
+    (out[r] = amp[bitrev(r)]; bit reversal is an involution)."""
+    brev = _bitrev_perm(n2)
+    need = (np.arange(n2) - brev) % n2           # roll that sources row r
+    shifts = sorted({int(s) for s in need} - {0})
+    if not shifts:
+        return amp
+    row = _sub_iota(amp.shape)
+
+    def row_mask(rows):
+        m = None
+        for r in rows:
+            t = row == int(r)
+            m = t if m is None else (m | t)
+        return m
+
+    out = jnp.zeros_like(amp)
+    rows0 = np.where(need == 0)[0]
+    if len(rows0):
+        out = out + jnp.where(row_mask(rows0), amp, 0.0)
+    for sh in shifts:
+        out = out + jnp.where(row_mask(np.where(need == sh)[0]),
+                              pltpu.roll(amp, sh, 1), 0.0)
+    return out
+
+
+def _spectrum_onesided_kernel(x_ref, win_ref, cs_ref, ss_ref, tc_ref, ts_ref,
+                              frh_ref, fih_ref, dbl_ref, oamp_ref, ony_ref,
+                              *, n, n2):
+    xw = x_ref[:] * win_ref[:]
+    rr, ri = _dif_sublane_real(xw, n2, cs_ref, ss_ref)     # bit-reversed rows
+    tr = rr * tc_ref[:] - ri * ts_ref[:]                   # pre-permuted grid
+    ti = rr * ts_ref[:] + ri * tc_ref[:]
+    d2 = _dg((((2,), (0,)), ((), ())))
+    orr = d2(tr, frh_ref[:]) - d2(ti, fih_ref[:])          # (tb, n2, 64)
+    oii = d2(tr, fih_ref[:]) + d2(ti, frh_ref[:])
+    amp = jnp.sqrt(orr * orr + oii * oii)
+    amp = _unbitrev_rows(amp, n2)
+    oamp_ref[:] = amp * dbl_ref[:]
+    # Nyquist bin (u=0, v=64): lane reduction of the u=0 row (bit-reversed
+    # row 0 is u=0) against F[l, 64] = (−1)^l.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr.shape[0], tr.shape[2]), 1)
+    alt = jnp.where(lane % 2 == 0, 1.0, -1.0).astype(tr.dtype)
+    nyr = jnp.sum(tr[:, 0, :] * alt, axis=-1, keepdims=True)
+    nyi = jnp.sum(ti[:, 0, :] * alt, axis=-1, keepdims=True)
+    ny = jnp.sqrt(nyr * nyr + nyi * nyi) * jnp.asarray(1.0 / n, tr.dtype)
+    ony_ref[:] = jnp.broadcast_to(ny, ony_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "window", "interpret"))
+def _spectrum_amp_onesided(x: Array, n: int, window: str,
+                           interpret: bool) -> Array:
+    """Fused one-sided amplitude spectrum, natural bin order: [batch, n//2+1].
+
+    Scaling matches the reference one-sided law (src/public/spectrum.ts:45-61):
+    DC and Nyquist ÷N, all other bins ×2/N.
+    """
+    from ..xform.fourier import window_values
+
+    batch = x.shape[0]
+    n2, n1 = _split(n)
+    tb = _pick_tile(batch, n, plane_budget=1024 * 1024)
+    wvals = window_values(window, n)
+    brev = _bitrev_perm(n2)
+    cs, ss = _dif_stage_consts(n2, -1.0)
+    tc, ts = _twiddle_grid(n, n2, n1, -1.0)
+    fr, fi = _dft_matrix(n1, -1.0)
+    half = n1 // 2
+    dbl = np.full((1, n2, half), 2.0 / n)
+    dbl[0, 0, 0] = 1.0 / n                                 # DC (row 0 is u=0)
+    dt = x.dtype
+    consts = [jnp.asarray(c, dt) for c in (
+        wvals.reshape(1, n2, n1),
+        np.broadcast_to(cs, (cs.shape[0], n2, 1)).copy(),
+        np.broadcast_to(ss, (ss.shape[0], n2, 1)).copy(),
+        tc[brev].reshape(1, n2, n1),                       # permuted grid
+        ts[brev].reshape(1, n2, n1),
+        fr[:, :half], fi[:, :half], dbl)]
+    spec_in = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_amp = pl.BlockSpec((tb, n2, half), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_ny = pl.BlockSpec((tb, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(_spectrum_onesided_kernel, n=n, n2=n2)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
+    amp_p, ny = pl.pallas_call(
+        kernel,
+        grid=(batch // tb,),
+        in_specs=[spec_in] + [_const_spec(c) for c in consts],
+        out_specs=[spec_amp, spec_ny],
+        out_shape=[jax.ShapeDtypeStruct((batch, n2, half), dt),
+                   jax.ShapeDtypeStruct((batch, LANES), dt)],
+        interpret=interpret,
+        **kw,
+    )(x.reshape(batch, n2, n1), *consts)
+    # natural order: k = u + n2*v, v < 64 covers k < n/2 exactly
+    nat = jnp.swapaxes(amp_p, -1, -2).reshape(batch, n // 2)
+    return jnp.concatenate([nat, ny[:, :1]], axis=1)
 
 
 def _spectrum_kernel(x_ref, win_ref, gr, gi, tc, ts, fr, fi, oamp_ref, *, n):
@@ -391,6 +573,9 @@ def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
         raise ValueError(f"frame length {x.shape[-1]} != n {n}")
     interp = _use_interpret() if interpret is None else interpret
     shape = x.shape
+    if sides == "one" and n > LANES:
+        amp = _spectrum_amp_onesided(x.reshape(-1, n), n, window, interp)
+        return amp.reshape(shape[:-1] + (n // 2 + 1,))
     amp_p = _spectrum_amp_2d(x.reshape(-1, n), n, window, interp)
     k = np.arange(n // 2 + 1)
     nyq = n // 2 if n % 2 == 0 else -1
