@@ -21,7 +21,8 @@ def main():
     from jax import lax
 
     from pragma_dsp_tpu.core.complex import ComplexArray
-    from pragma_dsp_tpu.ops.fft_pallas import _fft_pallas_3d, _spectrum_amp_2d
+    from pragma_dsp_tpu.ops.fft_pallas import (_fft_pallas_3d,
+                                                spectrum_amplitude_pallas)
     from pragma_dsp_tpu.ops.fft_fourstep import fft_fourstep
     from pragma_dsp_tpu.ops.fir import fir_filter
     from pragma_dsp_tpu.ops.polyphase import resample_poly
@@ -72,8 +73,17 @@ def main():
     t = timed(rt, (re3, im3), max(K // 2, 1))
     report("pallas fft+ifft permuted", t, max(K // 2, 1), S)
 
-    t = timed(lambda x: (_spectrum_amp_2d(x, N, "hann", interp),), (re,), K)
-    report("pallas fused hann spectrum", t, K, S)
+    def spec_step(prec):
+        def step(v):
+            amp = spectrum_amplitude_pallas(v, N, "hann", "one", interp,
+                                            precision=prec)
+            probe = v[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, v.dtype)
+            return (lax.dynamic_update_slice(v, probe, (0, 0)),)
+        return step
+    t = timed(spec_step("highest"), (re,), K)
+    report("pallas fused spectrum f32", t, K, S)
+    t = timed(spec_step("bf16x3"), (re,), K)
+    report("pallas fused spectrum bf16x3", t, K, S)
 
     def fs(r, i):
         o = fft_fourstep(ComplexArray(r, i))
@@ -82,13 +92,16 @@ def main():
     report("jnp fourstep fft 1024", t, K, S)
 
     # Shape-changing ops (resampler, channelizer, FIR) chain through a
-    # scalar feedback term so the loop body cannot be hoisted.
+    # one-element probe folded back with dynamic_update_slice, so the
+    # loop body cannot be hoisted. (A strided sum over every output leaf
+    # here previously cost more than the op under test: the PFB measured
+    # 7.6 ms with it vs 0.4 ms real.)
     def chained(op):
         def step(v, acc):
             out = op(v)
-            s = sum(jnp.sum(t.reshape(-1)[::127]) for t in
-                    jax.tree_util.tree_leaves(out))
-            return v + s * jnp.asarray(1e-30, v.dtype), acc + s
+            s = sum(t.reshape(-1)[0] for t in jax.tree_util.tree_leaves(out))
+            probe = v[:1] + s * jnp.asarray(1e-30, v.dtype)
+            return lax.dynamic_update_slice(v, probe, (0,)), acc + s
         return step
 
     taps = jnp.asarray(np.hamming(127) / np.hamming(127).sum(),

@@ -65,19 +65,20 @@ def _branch_filter(x: ComplexArray, h: np.ndarray, channels: int
     batch = x.real.shape[:-1]
 
     # Frames[m] needs x blocks m, m-1, ..., m-T+1 -> left-pad T-1 zero
-    # blocks then gather T consecutive blocks per output frame.
+    # blocks; block (m-t) is then a length-m row slice of the padded
+    # block array at offset T-1-t, so the branch filter is T weighted
+    # shifted slices (an index gather here was the dominant cost of the
+    # whole channelizer on v5e).
     def one_plane(plane):
         xb = plane.reshape(batch + (m, c))
         pad = [(0, 0)] * len(batch) + [(t_taps - 1, 0), (0, 0)]
         xp = jnp.pad(xb, pad)
-        idx = np.arange(m)[:, None] + np.arange(t_taps)[None, :]  # block m-t at t reversed
-        # window t=0..T-1 corresponds to blocks (m - (T-1) + t); reverse
-        # so index t maps to block m-t.
-        frames = xp[..., idx, :]                 # [..., m, T, c] blocks m-T+1..m
-        frames = frames[..., ::-1, :]            # now [..., m, t, c] = block m-t
         w = jnp.asarray(hp, dtype=plane.dtype)
-        return jnp.einsum("...mtc,tc->...mc", frames, w,
-                          precision=jax.lax.Precision.HIGHEST)
+        acc = None
+        for t in range(t_taps):
+            term = xp[..., t_taps - 1 - t: t_taps - 1 - t + m, :] * w[t]
+            acc = term if acc is None else acc + term
+        return acc
 
     return one_plane(x.real), one_plane(x.imag)
 

@@ -93,17 +93,34 @@ def overlap_save_filter(x: Array, taps: Array,
     xp = jnp.pad(x, pad)
 
     # Frames of length n starting every hop samples: consecutive frames
-    # share the K-1 overlap.
-    starts = np.arange(n_blocks) * hop
-    idx = starts[:, None] + np.arange(n)[None, :]
-    frames = xp[..., idx]                       # [..., n_blocks, n]
+    # share the K-1 overlap. Built from reshape + row-shifted slices (an
+    # index gather here measured ~70x slower on v5e than the FFTs).
+    body = xp[..., : n_blocks * hop]
+    rows = body.reshape(body.shape[:-1] + (n_blocks, hop))
+    nxt = jnp.concatenate(
+        [rows[..., 1:, : k - 1],
+         xp[..., None, n_blocks * hop:]], axis=-2)
+    frames = jnp.concatenate([rows, nxt], axis=-1)   # [..., n_blocks, n]
 
     h = jnp.zeros((n,), dtype=x.dtype).at[:k].set(taps)
-    hspec = _fft(h)
-    fspec = _fft(frames)
+    use_pallas = jax.default_backend() == "tpu" and n > 128
+    if use_pallas:
+        # zero-transpose pipeline: permuted fft -> pointwise (the filter
+        # spectrum lives in the same permuted order) -> permuted ifft.
+        from .fft_pallas import fft_pallas_permuted, ifft_pallas_from_permuted
+        hspec = fft_pallas_permuted(ComplexArray(h, jnp.zeros_like(h)))
+        fspec = fft_pallas_permuted(
+            ComplexArray(frames, jnp.zeros_like(frames)))
+    else:
+        hspec = _fft(h)
+        fspec = _fft(frames)
     prod_re = fspec.real * hspec.real - fspec.imag * hspec.imag
     prod_im = fspec.real * hspec.imag + fspec.imag * hspec.real
-    y = _ifft(ComplexArray(prod_re, prod_im)).real
+    prod = ComplexArray(prod_re, prod_im)
+    if use_pallas:
+        y = ifft_pallas_from_permuted(prod, n).real
+    else:
+        y = _ifft(prod).real
     # First K-1 samples of each block are circular garbage — drop them.
     y = y[..., k - 1:]
     y = y.reshape(y.shape[:-2] + (n_blocks * hop,))
