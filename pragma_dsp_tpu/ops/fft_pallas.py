@@ -175,17 +175,29 @@ def _fft_kernel(re_ref, im_ref, cs, ss, tc, ts, fr, fi, ore_ref, oim_ref,
 
 
 def _pick_tile(batch: int, n: int, plane_budget: int = 512 * 1024) -> int:
-    """Batch rows per grid step. The budget is per fp32 plane in flight;
-    with double-buffered windows plus kernel stack this must stay inside
-    the 16MB scoped VMEM limit even under lax loops. Measured on v5e at
-    n=1024: the 2-plane FFT kernel fits 512KB/plane (TB=128); the
-    1-plane spectrum kernel fits 1MB (TB=256, +47% throughput); 2MB
-    (TB=512) OOMs the scoped allocator."""
+    """Batch rows per grid step — always a multiple of 8 (sublane tile);
+    callers pad the batch up to a tile multiple (see _pad_batch). The
+    budget is per fp32 plane in flight; with double-buffered windows
+    plus kernel stack this must stay inside the 16MB scoped VMEM limit
+    even under lax loops. Measured on v5e at n=1024: the 2-plane FFT
+    kernel fits 512KB/plane (TB=128); the 1-plane spectrum kernel fits
+    1MB (TB=256, +47% throughput); 2MB (TB=512) OOMs the scoped
+    allocator."""
     budget = max(1, plane_budget // (4 * n))
-    tile = min(512, budget, batch)
-    while batch % tile != 0:
-        tile -= 1
+    tile = max(8, min(512, budget, batch) // 8 * 8)
     return tile
+
+
+def _pad_batch(arrs, batch: int, tile: int):
+    """Zero-pad the leading (batch) dim of each array to a tile multiple."""
+    padded = -(-batch // tile) * tile
+    if padded == batch:
+        return arrs, batch
+    out = []
+    for a in arrs:
+        pad = [(0, padded - batch)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad))
+    return out, padded
 
 
 def _const_spec(arr):
@@ -203,6 +215,7 @@ def _fft_pallas_3d(re: Array, im: Array, n: int, inverse: bool,
     """
     batch = re.shape[0]
     tb = _pick_tile(batch, n)
+    (re, im), padded = _pad_batch((re, im), batch, tb)
     sign = 1.0 if inverse else -1.0
     scale = 1.0 / n if inverse else 1.0
     consts = [jnp.asarray(c)
@@ -210,24 +223,25 @@ def _fft_pallas_3d(re: Array, im: Array, n: int, inverse: bool,
     kernel = functools.partial(_fft_kernel, n=n, inverse=inverse, scale=scale)
     if n <= LANES:
         spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((batch, n), re.dtype)] * 2
+        out_shape = [jax.ShapeDtypeStruct((padded, n), re.dtype)] * 2
         specs = [spec, spec]
         out_specs = [spec, spec]
     else:
         n2, n1 = _split(n)
         spec = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((batch, n2, n1), re.dtype)] * 2
+        out_shape = [jax.ShapeDtypeStruct((padded, n2, n1), re.dtype)] * 2
         specs = [spec, spec]
         out_specs = [spec, spec]
-    return pl.pallas_call(
+    ore, oim = pl.pallas_call(
         kernel,
-        grid=(batch // tb,),
+        grid=(padded // tb,),
         in_specs=specs + [_const_spec(c) for c in consts],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(re, im, *consts)
+    return ore[:batch], oim[:batch]
 
 
 # ── order conversion (outside kernels, XLA relayout) ─────────────────
@@ -529,19 +543,20 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024)
+    (x3,), padded = _pad_batch((x.reshape(batch, n2, n1),), batch, tb)
     amp_p, ny = pl.pallas_call(
         kernel,
-        grid=(batch // tb,),
+        grid=(padded // tb,),
         in_specs=[spec_in] + [_const_spec(c) for c in consts],
         out_specs=[spec_amp, spec_ny],
-        out_shape=[jax.ShapeDtypeStruct((batch, n2, half), dt),
-                   jax.ShapeDtypeStruct((batch, LANES), dt)],
+        out_shape=[jax.ShapeDtypeStruct((padded, n2, half), dt),
+                   jax.ShapeDtypeStruct((padded, LANES), dt)],
         interpret=interpret,
         **kw,
-    )(x.reshape(batch, n2, n1), *consts)
+    )(x3, *consts)
     # natural order: k = u + n2*v, v < 64 covers k < n/2 exactly
-    nat = jnp.swapaxes(amp_p, -1, -2).reshape(batch, n // 2)
-    return jnp.concatenate([nat, ny[:, :1]], axis=1)
+    nat = jnp.swapaxes(amp_p[:batch], -1, -2).reshape(batch, n // 2)
+    return jnp.concatenate([nat, ny[:batch, :1]], axis=1)
 
 
 def _spectrum_kernel(x_ref, win_ref, cs, ss, tc, ts, fr, fi, oamp_ref, *, n):
@@ -573,7 +588,6 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
         spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
         win = jnp.asarray(wvals.reshape(1, n), dtype=x.dtype)
         in_x = x
-        out_shape = jax.ShapeDtypeStruct((batch, n), x.dtype)
     else:
         n2, n1 = _split(n)
         spec = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
@@ -581,7 +595,8 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
         # Window indexed by time n = n1 + N1*n2 matches the (n2, n1) view.
         win = jnp.asarray(wvals.reshape(1, n2, n1), dtype=x.dtype)
         in_x = x.reshape(batch, n2, n1)
-        out_shape = jax.ShapeDtypeStruct((batch, n2, n1), x.dtype)
+    (in_x,), padded = _pad_batch((in_x,), batch, tb)
+    out_shape = jax.ShapeDtypeStruct((padded,) + in_x.shape[1:], x.dtype)
     kw = {}
     if not interpret:
         # The TB=256 tile sits ~1% above the default 16MB scoped-vmem
@@ -592,14 +607,14 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
             vmem_limit_bytes=32 * 1024 * 1024)
     amp = pl.pallas_call(
         kernel,
-        grid=(batch // tb,),
+        grid=(padded // tb,),
         in_specs=[spec, _const_spec(win)] + [_const_spec(c) for c in consts],
         out_specs=spec,
         out_shape=out_shape,
         interpret=interpret,
         **kw,
     )(in_x, win, *consts)
-    return amp  # permuted (batch, N2, N1) for n > 128, else (batch, n)
+    return amp[:batch]  # permuted (batch, N2, N1) for n > 128, else (batch, n)
 
 
 def spectrum_amplitude_pallas(x, n: int, window: str = "rect",

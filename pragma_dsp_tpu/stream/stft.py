@@ -45,9 +45,18 @@ def frame_signal(x: Array, frame_size: int, hop: int) -> Array:
     if length < frame_size:
         raise ValueError(f"signal length {length} < frame_size {frame_size}")
     n_frames = 1 + (length - frame_size) // hop
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(frame_size)[None, :]
-    return x[..., idx]
+    # Reshape to hop-sized rows and concatenate T row-shifted views —
+    # frame i is rows i..i+T-1 truncated to frame_size. (An index gather
+    # here is the slow path on TPU: it materialises a [F, frame_size]
+    # gather instead of T cheap slices.)
+    t_rows = -(-frame_size // hop)
+    total = (n_frames + t_rows) * hop
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, total - length)]
+    rows = jnp.pad(x, pad).reshape(x.shape[:-1] + (n_frames + t_rows, hop))
+    frames = jnp.concatenate(
+        [rows[..., t: t + n_frames, :] for t in range(t_rows)],
+        axis=-1)[..., :frame_size]
+    return frames
 
 
 def stft(x: Array, n_fft: int, hop: Optional[int] = None,
@@ -79,16 +88,30 @@ def istft(spec: ComplexArray, hop: int, window: str = "hann",
     frames = frames * win
     out_len = (n_frames - 1) * hop + n_fft
 
-    # Scatter-add frames at hop offsets plus the matching window-energy
-    # normaliser. Static index arithmetic -> XLA scatter.
-    idx = (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    # Overlap-add without a scatter: split each frame into hop-sized
+    # chunks; chunk t of frame f lands at row f+t of the output row
+    # grid, so the whole OLA is T row-shifted pads + adds. The
+    # window-energy normaliser is static -> computed in numpy.
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape(batch_shape + (n_frames * n_fft,))
-    sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
-    sig = sig.at[..., idx].add(flat)
-    wsq = jnp.zeros(out_len, dtype=frames.dtype)
-    wsq = wsq.at[idx].add(jnp.tile(win * win, n_frames))
-    sig = sig / jnp.maximum(wsq, jnp.finfo(frames.dtype).tiny)
+    t_rows = -(-n_fft // hop)
+    padded_cols = t_rows * hop
+    fpad = [(0, 0)] * (frames.ndim - 1) + [(0, padded_cols - n_fft)]
+    chunks = jnp.pad(frames, fpad).reshape(
+        batch_shape + (n_frames, t_rows, hop))
+    total_rows = n_frames + t_rows - 1
+    acc = jnp.zeros(batch_shape + (total_rows, hop), dtype=frames.dtype)
+    for t in range(t_rows):
+        acc = acc.at[..., t: t + n_frames, :].add(chunks[..., :, t, :])
+    sig = acc.reshape(batch_shape + (total_rows * hop,))[..., :out_len]
+    from ..xform.fourier import window_values
+
+    wnp = np.zeros(out_len)
+    wsq_np = window_values(window, n_fft).astype(np.float64) ** 2
+    for f in range(n_frames):
+        wnp[f * hop: f * hop + n_fft] += wsq_np
+    wsq = jnp.asarray(np.maximum(wnp, np.finfo(np.float32).tiny),
+                      dtype=frames.dtype)
+    sig = sig / wsq
     if length is not None:
         sig = sig[..., :length]
     return sig
