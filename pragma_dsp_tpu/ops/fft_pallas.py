@@ -634,6 +634,10 @@ def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
     x = jnp.asarray(x)
     if x.shape[-1] != n:
         raise ValueError(f"frame length {x.shape[-1]} != n {n}")
+    if n > LANES and not is_power_of_two(n):
+        # The roll-DIF sublane stage needs n/128 to be a power of two
+        # (n <= 128 uses a dense DFT matrix and accepts any size).
+        raise ValueError(f"spectrum size must be a power of two, got {n}")
     if precision not in ("highest", "bf16x3"):
         raise ValueError(f"unknown precision {precision!r}")
     interp = _use_interpret() if interpret is None else interpret

@@ -83,6 +83,11 @@ def overlap_save_filter(x: Array, taps: Array,
     k = taps.shape[0]
     length = x.shape[-1]
     n = block if block is not None else max(256, next_power_of_two(8 * k))
+    if n < 2 * (k - 1):
+        # The row-shifted framing below carries the K-1 overlap in a
+        # single hop-sized row, which requires hop = n-(k-1) >= k-1.
+        raise ValueError(
+            f"overlap-save block {n} must be >= 2*(len(taps)-1) = {2 * (k - 1)}")
     hop = n - (k - 1)
     n_blocks = -(-length // hop)
 

@@ -14,7 +14,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sanitizer_mode", "check_finite", "debug_nans"]
+__all__ = ["sanitizer_mode", "check_finite", "checked", "debug_nans"]
 
 
 @contextlib.contextmanager
@@ -45,13 +45,34 @@ def debug_nans(enable: bool = True):
 
 
 def check_finite(name: str, *arrays) -> None:
-    """jit-compatible finiteness assertion at a pipeline stage boundary:
-    aborts with ``name`` in the message when any element is NaN/Inf
-    (uses jax.debug.check semantics via checkify-free error)."""
+    """Finiteness assertion at a pipeline stage boundary.
+
+    Uses ``jax.experimental.checkify.check`` so the failure actually
+    propagates to the caller: wrap the enclosing function with
+    :func:`checked` (or ``checkify.checkify`` directly) and the error is
+    raised on the host, under jit included. Called eagerly (outside any
+    trace) it raises immediately."""
+    from jax.experimental import checkify
+
     for i, a in enumerate(arrays):
-        ok = jnp.all(jnp.isfinite(a))
-        def _report(okv, arr=None, idx=i):
-            if not bool(okv):
-                raise FloatingPointError(
-                    f"check_finite failed at '{name}' (array {idx})")
-        jax.debug.callback(_report, ok)
+        checkify.check(jnp.all(jnp.isfinite(a)),
+                       f"check_finite failed at '{name}' (array {i})")
+
+
+def checked(fn):
+    """Functionalise :func:`check_finite` assertions inside ``fn`` and
+    re-raise them on the host: ``checked(jitted_fn)(*args)`` raises
+    ``checkify.JaxRuntimeError`` when any check fails."""
+    import functools
+
+    from jax.experimental import checkify
+
+    cfn = checkify.checkify(fn, errors=checkify.user_checks)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper

@@ -78,3 +78,16 @@ def test_streaming_matches_batch():
     got = np.concatenate(outs)
     assert got.shape == ref.shape
     assert_snr(ref, got, 120, "stream vs batch")
+
+
+def test_overlap_save_rejects_tiny_block():
+    """ADVICE r1: block < 2*(k-1) breaks the row-shifted framing; must
+    raise a clear ValueError instead of a trace-time shape error."""
+    import pytest
+    from pragma_dsp_tpu.ops.fir import overlap_save_filter
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1024),
+                    dtype=jnp.float32)
+    taps = jnp.asarray(np.hamming(200), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="block"):
+        overlap_save_filter(x, taps, block=256)

