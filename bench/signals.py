@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from helpers import get_context, parse_args, sine, verified
+from helpers import finish, get_context, parse_args, sine, verified
 
 
 def main():
@@ -46,3 +46,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    finish()

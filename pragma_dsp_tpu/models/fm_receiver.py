@@ -10,17 +10,20 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.complex import Array, ComplexArray, as_complex_array
-from ..ops.demod import deemphasis, fm_discriminate
-from ..ops.polyphase import design_lowpass, resample_poly, upfirdn
+from ..ops.demod import (FmDemodState, fm_discriminate, fm_stream_init,
+                         fm_discriminate_step, deemphasis, iir_one_pole)
+from ..ops.polyphase import (UpfirdnState, design_lowpass, resample_poly,
+                             upfirdn, upfirdn_step, upfirdn_stream_init)
 
-__all__ = ["FmReceiverConfig", "FmReceiver", "wbfm_demod"]
+__all__ = ["FmReceiverConfig", "FmReceiver", "wbfm_demod",
+           "WbfmStreamState"]
 
 
 @dataclass(frozen=True)
@@ -36,6 +39,17 @@ class FmReceiverConfig:
     def __post_init__(self):
         if self.iq_rate % self.if_rate != 0:
             raise ValueError("iq_rate must be an integer multiple of if_rate")
+
+
+class WbfmStreamState(NamedTuple):
+    """Full receiver carry: channel-filter tails (re/im), last IQ sample
+    for the discriminator, de-emphasis IIR state, audio-resampler tail."""
+
+    chan_re: UpfirdnState
+    chan_im: UpfirdnState
+    disc: FmDemodState
+    deemph_y: Array
+    audio: UpfirdnState
 
 
 class FmReceiver:
@@ -70,6 +84,63 @@ class FmReceiver:
         audio = upfirdn(audio_if, jnp.asarray(self._audio_taps),
                         self._up, self._down)
         return audio
+
+
+
+    # ── streaming (chunked) interface ────────────────────────────────
+
+    @property
+    def chunk_quantum(self) -> int:
+        """IQ samples per chunk must be a multiple of this (decimation x
+        audio down-ratio so both resampler grids stay aligned)."""
+        return self._decim1 * self._down
+
+    def stream_init(self, batch_shape: Tuple[int, ...] = (),
+                    dtype=jnp.float32) -> "WbfmStreamState":
+        """Zero (cold-start) state, matching the batch chain's implicit
+        zero history."""
+        return WbfmStreamState(
+            chan_re=upfirdn_stream_init(self._chan_taps, 1, self._decim1,
+                                        batch_shape, dtype),
+            chan_im=upfirdn_stream_init(self._chan_taps, 1, self._decim1,
+                                        batch_shape, dtype),
+            disc=fm_stream_init(batch_shape, dtype),
+            deemph_y=jnp.zeros(batch_shape + (1,), dtype=dtype),
+            audio=upfirdn_stream_init(self._audio_taps, self._up, self._down,
+                                      batch_shape, dtype),
+        )
+
+    def stream_step(self, state: "WbfmStreamState", iq_chunk):
+        """Process one IQ chunk; concatenated outputs equal the PREFIX of
+        the batch ``FmReceiver.__call__`` over the concatenated stream
+        (the filter ring-out tails are emitted as later chunks arrive).
+        lax.scan-compatible; donate the state via
+        ``stream.jit_stream_step`` for an allocation-free chunk loop.
+        """
+        c = self.config
+        xc = as_complex_array(iq_chunk)
+        if xc.real.shape[-1] % self.chunk_quantum != 0:
+            raise ValueError(
+                f"chunk length {xc.real.shape[-1]} must be a multiple of "
+                f"{self.chunk_quantum}")
+        taps = jnp.asarray(self._chan_taps)
+        cr, yr = upfirdn_step(state.chan_re, xc.real, taps, 1, self._decim1)
+        ci, yi = upfirdn_step(state.chan_im, xc.imag, taps, 1, self._decim1)
+        chan = ComplexArray(yr, yi)
+        disc, dphi_hz = fm_discriminate_step(state.disc, chan,
+                                             sample_rate=c.if_rate,
+                                             deviation=c.deviation)
+        audio_if = dphi_hz
+        deemph_y = state.deemph_y
+        if c.deemphasis_tau is not None:
+            alpha = float(np.exp(-1.0 / (c.if_rate * c.deemphasis_tau)))
+            audio_if = iir_one_pole(audio_if, alpha, y0=deemph_y)
+            deemph_y = audio_if[..., -1:]
+        ast, audio = upfirdn_step(state.audio, audio_if,
+                                  jnp.asarray(self._audio_taps),
+                                  self._up, self._down)
+        return WbfmStreamState(chan_re=cr, chan_im=ci, disc=disc,
+                               deemph_y=deemph_y, audio=ast), audio
 
 
 def wbfm_demod(iq, iq_rate: float = 2.4e6, audio_rate: float = 48e3,

@@ -28,12 +28,15 @@ from .fft_pallas import (
 from .fir import FirState, fir_filter, fir_step, fir_stream_init, overlap_save_filter
 from .rfft import irfft, paired_spectrum_amplitude, rfft
 from .polyphase import (
+    UpfirdnState,
     decimate,
     design_lowpass,
     interpolate,
     resample_poly,
     resampler_taps,
     upfirdn,
+    upfirdn_step,
+    upfirdn_stream_init,
 )
 
 __all__ = [
@@ -62,6 +65,9 @@ __all__ = [
     "resample_poly",
     "resampler_taps",
     "upfirdn",
+    "UpfirdnState",
+    "upfirdn_step",
+    "upfirdn_stream_init",
     "FmDemodState",
     "am_demod",
     "deemphasis",

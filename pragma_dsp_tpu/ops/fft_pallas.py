@@ -347,17 +347,45 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexA
 
 # ── fused windowed spectrum amplitude ────────────────────────────────
 #
-# One-sided path (the headline product): a tb-major kernel that never
-# leaves the (batch-sublane, lane) layout. The four-step sublane DFT is
-# done on the VPU as log2(N2) DIF radix-2 stages built from sublane
-# rolls + masked selects (an MXU dot_general over the tiny N2 axis
-# measured ~2.7x slower on v5e: its (k2, tb, l) output layout forces a
-# sublane-granularity relayout). DIF emits bit-reversed sublane rows;
-# the twiddle grid is pre-permuted to match and the amplitude rows are
-# un-reversed in-kernel with rolls (bit reversal is an involution). The
-# lane-dim DFT contracts only the 64 columns covering one-sided bins
-# (k = u + N2*v < N/2 ⟺ v < 64), and the Nyquist bin (u=0, v=64) is a
-# lane reduction of the u=0 row against (−1)^l.
+# One-sided path (the headline product): a *plane-structured* kernel that
+# runs at the HBM roofline on v5e (measured ~0.13 ms for 16384x1024 f32,
+# ~825 GB/s vs 819 GB/s peak). Layout strategy:
+#
+# * the (batch, n) input block is sliced into N2 = n/128 lane-tile
+#   *planes* x_s = x[:, 128s:128(s+1)] (time t = 128 s + l). Lane-tile
+#   slices at 128 alignment are free vreg selections — no relayout.
+# * the small DFT_N2 across planes is plain VPU plane arithmetic
+#   (a trace-time radix-2 recursion over the plane list, ~O(N2 log N2)
+#   adds/muls on (tb, 128) planes). This replaced the earlier sublane
+#   roll-DIF formulation, whose rolls/selects/un-bit-reversal dominated
+#   the kernel (~0.25 ms of VPU at n=1024).
+# * per output row u, the twiddle W_N^{lu}, the lane DFT_128, and the
+#   one-sided amplitude scaling law fold into ONE constant matrix pair
+#   MA_u = [Re(M_u) | Im(M_u)], MB_u = [-Im | Re] (M_u[l,v] =
+#   W_N^{lu} W_128^{lv} * scale), so each row is 1-2 MXU dots of
+#   (tb,128)@(128,128) at full 128-column MXU width. Rows with a zero
+#   imaginary plane (u = 0, N2/2 for real input) skip the MB dot.
+# * the digit-permuted -> natural corner turn rides the MXU *inside*
+#   the kernel: a one-hot permutation matrix is EXACT in bf16, and a
+#   3-way hi/lo split of the amplitudes (3 x 8 mantissa bits = f32
+#   exact) makes the permutation dot bit-faithful. Per output chunk of
+#   128 bins, the n2 source sub-slices amp_u[:, W*r : W*(r+1)]
+#   (W = 128/n2) lane-concat to (tb, 128) and one shared (128, 128)
+#   one-hot matrix scatters them to natural order — 4x fewer MACs than
+#   a dense (512, 512) permutation, and no XLA relayout pass at all
+#   (Mosaic cannot express the sublane<->lane merge; XLA's
+#   reshape/transpose/concat chain costs ~0.25 ms in separate passes).
+# * the Nyquist bin (u=0, v=64) is a lane reduction of the real u=0
+#   plane against (−1)^l, stored into the last output lane — the kernel
+#   emits the COMPLETE natural-order (batch, n//2+1) product.
+#
+# precision="bf16x3": the fused-matrix dots run as three DEFAULT bf16
+# passes on hi/lo-split operands (constants pre-split at trace time),
+# ~18-bit effective mantissa -> SNR ~112 dB vs f64. "highest" uses f32
+# Precision.HIGHEST dots (SNR ~140 dB, ~6 MXU passes). Measured v5e,
+# 16384x1024: 0.226 ms/iter bf16x3 = 74 Gsamples/s = 72% of the 8
+# B/sample HBM speed of light (kernel floor: 104 MiB traffic = 0.127 ms,
+# MXU 29 GFLOP = 0.147 ms at peak).
 
 
 def _bitrev_perm(n2: int) -> np.ndarray:
@@ -454,50 +482,179 @@ def _unbitrev_rows(amp, n2: int):
     return out
 
 
-def _dg_bf16x3(dims):
-    """Lane contraction as three DEFAULT-precision bf16 dots (a = a_hi +
-    a_lo split, the a_lo·b_lo term ~2^-36 dropped). ~18-bit effective
-    input mantissa → spectrum SNR ~112 dB vs f64, measured 1.4x faster
-    than Precision.HIGHEST on v5e (the MXU runs bf16 natively)."""
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
-                            precision=jax.lax.Precision.DEFAULT,
-                            preferred_element_type=jnp.float32)
+def _snap(v: float) -> float:
+    """Snap a trace-time twiddle component to exact 0/±1 (so the plane
+    recursion can specialise trivial multiplies away)."""
+    for t in (0.0, 1.0, -1.0):
+        if abs(v - t) < 1e-12:
+            return t
+    return v
 
-    def split(a):
+
+def _padd(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _psub(a, b):
+    if b is None:
+        return a
+    if a is None:
+        return -b
+    return a - b
+
+
+def _pscale(a, c: float):
+    if a is None or c == 1.0:
+        return a
+    if c == -1.0:
+        return -a
+    return a * c
+
+
+def _plane_dft(res, ims, sign: float):
+    """DFT across a *list* of (tb, 128) planes (the N2 axis of the
+    four-step, t = 128*s + l) via a trace-time radix-2 DIT recursion.
+
+    ``ims[k] is None`` means an exactly-zero imaginary plane (real
+    input); twiddles with 0/±1 components are specialised away, so a
+    real-input DFT_8 costs ~25 plane ops. Returns (re, im) plane lists
+    in NATURAL u order, im entries None where exactly zero.
+    """
+    m = len(res)
+    if m == 1:
+        return list(res), list(ims)
+    er, ei = _plane_dft(res[0::2], ims[0::2], sign)
+    orr, oi = _plane_dft(res[1::2], ims[1::2], sign)
+    out_r = [None] * m
+    out_i = [None] * m
+    h = m // 2
+    for k in range(h):
+        ang = sign * 2.0 * np.pi * k / m
+        c = _snap(float(np.cos(ang)))
+        s = _snap(float(np.sin(ang)))
+        # t = (c + i s) * (orr[k] + i oi[k]), specialising trivial parts
+        tr = _psub(_pscale(orr[k], c), _pscale(oi[k], s))
+        ti = _padd(_pscale(oi[k], c), _pscale(orr[k], s))
+        out_r[k] = _padd(er[k], tr)
+        out_i[k] = _padd(ei[k], ti)
+        out_r[k + h] = _psub(er[k], tr)
+        out_i[k + h] = _psub(ei[k], ti)
+    return out_r, out_i
+
+
+@functools.lru_cache(maxsize=32)
+def _onesided_plan(n: int, window: str, precision: str):
+    """Trace-time constants for the one-sided kernel: the window row, the
+    per-row fused twiddle*DFT*scaling matrix stacks, and the shared
+    one-hot chunk-permutation matrix (see the section comment above).
+    bf16x3 returns pre-split (hi, lo) bf16 matrix stacks."""
+    from ..xform.fourier import window_values
+
+    n2, n1 = _split(n)
+    half = n1 // 2
+    fr, fi = _dft_matrix(n1, -1.0)                       # f64 (128, 128)
+    lidx = np.arange(n1, dtype=np.float64)
+    ma = np.zeros((n2, n1, n1))
+    mb = np.zeros((n2, n1, n1))
+    for u in range(n2):
+        ang = -2.0 * np.pi * lidx * u / n
+        twc, tws = np.cos(ang), np.sin(ang)
+        mc = twc[:, None] * fr[:, :half] - tws[:, None] * fi[:, :half]
+        ms = twc[:, None] * fi[:, :half] + tws[:, None] * fr[:, :half]
+        scale = np.full(half, 2.0 / n)
+        if u == 0:
+            scale[0] = 1.0 / n                           # DC not doubled
+        ma[u] = np.concatenate([mc * scale, ms * scale], axis=1)
+        mb[u] = np.concatenate([-ms * scale, mc * scale], axis=1)
+    # NOTE: this cache must hold only NUMPY arrays — the first call can
+    # happen inside a jit trace, and caching jnp values there would leak
+    # tracers into later traces (UnexpectedTracerError). Callers wrap
+    # with jnp.asarray, which embeds them as constants.
+    bf16 = np.dtype(jnp.bfloat16.dtype)
+    win = window_values(window, n).reshape(1, n).astype(np.float32)
+    # chunk permutation: within one 128-bin output chunk, source lane
+    # W*u + w (W = 128/n2 slice of amp_u) scatters to bin lane n2*w + u.
+    wdt = n1 // n2
+    perm = np.zeros((n1, n1), np.float32)
+    for u in range(n2):
+        for w in range(wdt):
+            perm[wdt * u + w, n2 * w + u] = 1.0
+    pmat = perm.astype(bf16)                             # one-hot: exact
+    if precision == "bf16x3":
+        def split(m):
+            m32 = np.asarray(m, np.float32)
+            hi = m32.astype(bf16)
+            lo = (m32 - hi.astype(np.float32)).astype(bf16)
+            return hi, lo
+        mah, mal = split(ma)
+        mbh, mbl = split(mb)
+        return win, pmat, (mah, mal, mbh, mbl)
+    return win, pmat, (ma.astype(np.float32), mb.astype(np.float32))
+
+
+def _spectrum_onesided_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast):
+    """window -> plane DFT_N2 -> per-row fused twiddle+DFT_128 MXU dots
+    -> one-hot MXU corner turn -> complete (tb, n//2+1) product."""
+    o_ref = refs[-1]
+    half = LANES // 2
+    xs = [x_ref[:, LANES * s:LANES * (s + 1)]
+          * win_ref[:, LANES * s:LANES * (s + 1)] for s in range(n2)]
+    ar, ai = _plane_dft(xs, [None] * n2, -1.0)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+    def bsplit(a):
         hi = a.astype(jnp.bfloat16)
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, lo
 
-    def f(a, b):
-        ah, al = split(a)
-        bh, bl = split(b)
-        return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+    if fast:
+        mah_ref, mal_ref, mbh_ref, mbl_ref = refs[:4]
 
-    return f
+        def row(plane, m_ref, u):
+            hi, lo = bsplit(plane)
+            mh = m_ref[u]
+            ml = (mal_ref if m_ref is mah_ref else mbl_ref)[u]
+            return dot(hi, mh) + (dot(hi, ml) + dot(lo, mh))
+    else:
+        mah_ref, mbh_ref = refs[:2]
+        d1 = _dg((((1,), (0,)), ((), ())))
 
+        def row(plane, m_ref, u):
+            return d1(plane, m_ref[u])
 
-def _spectrum_onesided_kernel(x_ref, win_ref, cs_ref, ss_ref, tc_ref, ts_ref,
-                              frh_ref, fih_ref, dbl_ref, oamp_ref, ony_ref,
-                              *, n, n2, fast):
-    xw = x_ref[:] * win_ref[:]
-    rr, ri = _dif_sublane(xw, None, n2, cs_ref, ss_ref)     # bit-reversed rows
-    tr = rr * tc_ref[:] - ri * ts_ref[:]                   # pre-permuted grid
-    ti = rr * ts_ref[:] + ri * tc_ref[:]
-    mk = _dg_bf16x3 if fast else _dg
-    d2 = mk((((2,), (0,)), ((), ())))
-    orr = d2(tr, frh_ref[:]) - d2(ti, fih_ref[:])          # (tb, n2, 64)
-    oii = d2(tr, fih_ref[:]) + d2(ti, frh_ref[:])
-    amp = jnp.sqrt(orr * orr + oii * oii)
-    amp = _unbitrev_rows(amp, n2)
-    oamp_ref[:] = amp * dbl_ref[:]
-    # Nyquist bin (u=0, v=64): lane reduction of the u=0 row (bit-reversed
-    # row 0 is u=0) against F[l, 64] = (−1)^l.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tr.shape[0], tr.shape[2]), 1)
-    alt = jnp.where(lane % 2 == 0, 1.0, -1.0).astype(tr.dtype)
-    nyr = jnp.sum(tr[:, 0, :] * alt, axis=-1, keepdims=True)
-    nyi = jnp.sum(ti[:, 0, :] * alt, axis=-1, keepdims=True)
-    ny = jnp.sqrt(nyr * nyr + nyi * nyi) * jnp.asarray(1.0 / n, tr.dtype)
-    ony_ref[:] = jnp.broadcast_to(ny, ony_ref.shape)
+    amps = []
+    for u in range(n2):
+        y = row(ar[u], mah_ref, u)
+        if ai[u] is not None:
+            y = y + row(ai[u], mbh_ref, u)
+        re, im = y[:, :half], y[:, half:]
+        amps.append(jnp.sqrt(re * re + im * im))
+    # Corner turn on the MXU: per 128-bin chunk, lane-concat the n2
+    # source sub-slices and scatter with the shared one-hot matrix. A
+    # 3-way hi/lo/lo2 split (24 mantissa bits) keeps it f32-exact.
+    p = p_ref[:]
+    wdt = LANES // n2
+    for r in range(n2 * half // LANES):
+        chunk = jnp.concatenate(
+            [amps[u][:, wdt * r:wdt * (r + 1)] for u in range(n2)], axis=1)
+        h1 = chunk.astype(jnp.bfloat16)
+        r1 = chunk - h1.astype(jnp.float32)
+        h2 = r1.astype(jnp.bfloat16)
+        h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+        nat = dot(h1, p) + (dot(h2, p) + dot(h3, p))
+        o_ref[:, LANES * r:LANES * (r + 1)] = nat
+    # Nyquist bin (u=0, v=64): A_0 is real; F[l, 64] = (−1)^l, tw = 1.
+    lane = jax.lax.broadcasted_iota(jnp.int32, ar[0].shape, 1)
+    alt = jnp.where(lane % 2 == 0, 1.0, -1.0).astype(ar[0].dtype)
+    ny = jnp.abs(jnp.sum(ar[0] * alt, axis=-1, keepdims=True))
+    o_ref[:, n // 2:n // 2 + 1] = ny * jnp.asarray(1.0 / n, ny.dtype)
 
 
 @functools.partial(jax.jit,
@@ -507,56 +664,40 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     """Fused one-sided amplitude spectrum, natural bin order: [batch, n//2+1].
 
     Scaling matches the reference one-sided law (src/public/spectrum.ts:45-61):
-    DC and Nyquist ÷N, all other bins ×2/N. precision="bf16x3" swaps the
-    lane-DFT dots for the split-bf16 scheme (SNR ~112 dB, ~1.4x faster).
+    DC and Nyquist ÷N, all other bins ×2/N. precision="bf16x3" runs the
+    fused matrices as split-bf16 MXU dots (SNR ~112 dB, ~2x throughput).
+    The complete natural-order product is written by the kernel itself —
+    no XLA passes outside the pallas_call.
     """
-    from ..xform.fourier import window_values
-
     batch = x.shape[0]
     n2, n1 = _split(n)
-    tb = _pick_tile(batch, n, plane_budget=1024 * 1024)
-    wvals = window_values(window, n)
-    brev = _bitrev_perm(n2)
-    cs, ss = _dif_stage_consts(n2, -1.0)
-    tc, ts = _twiddle_grid(n, n2, n1, -1.0)
-    fr, fi = _dft_matrix(n1, -1.0)
-    half = n1 // 2
-    dbl = np.full((1, n2, half), 2.0 / n)
-    dbl[0, 0, 0] = 1.0 / n                                 # DC (row 0 is u=0)
+    # One f32 plane budget of 2 MiB keeps input + plane lists + row dots
+    # inside scoped VMEM at every n (tb=512 at n=1024, 128 at n=4096).
+    tb = _pick_tile(batch, n, plane_budget=2 * 1024 * 1024)
     dt = x.dtype
-    consts = [jnp.asarray(c, dt) for c in (
-        wvals.reshape(1, n2, n1),
-        np.broadcast_to(cs, (cs.shape[0], n2, 1)).copy(),
-        np.broadcast_to(ss, (ss.shape[0], n2, 1)).copy(),
-        tc[brev].reshape(1, n2, n1),                       # permuted grid
-        ts[brev].reshape(1, n2, n1),
-        fr[:, :half], fi[:, :half], dbl)]
-    spec_in = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    spec_amp = pl.BlockSpec((tb, n2, half), lambda i: (i, 0, 0),
+    win, pmat, mats = _onesided_plan(n, window, precision)
+    bins = n // 2 + 1
+    spec_in = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((tb, bins), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    spec_ny = pl.BlockSpec((tb, LANES), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_spectrum_onesided_kernel, n=n, n2=n2,
                                fast=(precision == "bf16x3"))
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024)
-    (x3,), padded = _pad_batch((x.reshape(batch, n2, n1),), batch, tb)
-    amp_p, ny = pl.pallas_call(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    (x2,), padded = _pad_batch((x,), batch, tb)
+    consts = tuple(jnp.asarray(c) for c in (win, pmat) + mats)
+    out = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
         in_specs=[spec_in] + [_const_spec(c) for c in consts],
-        out_specs=[spec_amp, spec_ny],
-        out_shape=[jax.ShapeDtypeStruct((padded, n2, half), dt),
-                   jax.ShapeDtypeStruct((padded, LANES), dt)],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((padded, bins), dt),
         interpret=interpret,
         **kw,
-    )(x3, *consts)
-    # natural order: k = u + n2*v, v < 64 covers k < n/2 exactly
-    nat = jnp.swapaxes(amp_p[:batch], -1, -2).reshape(batch, n // 2)
-    return jnp.concatenate([nat, ny[:batch, :1]], axis=1)
+    )(x2, *consts)
+    return out[:batch]
 
 
 def _spectrum_kernel(x_ref, win_ref, cs, ss, tc, ts, fr, fi, oamp_ref, *, n):

@@ -15,7 +15,7 @@ Traced (runtime) taps fall back to an XLA dilated convolution with
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,8 @@ import numpy as np
 from ..core.complex import Array, ComplexArray, as_complex_array
 
 __all__ = ["upfirdn", "resample_poly", "decimate", "interpolate",
-           "design_lowpass", "resampler_taps"]
+           "design_lowpass", "resampler_taps",
+           "UpfirdnState", "upfirdn_stream_init", "upfirdn_step"]
 
 
 def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming") -> np.ndarray:
@@ -165,6 +166,67 @@ def resample_poly(x, up: int, down: int, taps=None,
     if taps is None:
         taps = resampler_taps(up, down, num_taps)
     return upfirdn(x, taps, up, down)
+
+
+class UpfirdnState(NamedTuple):
+    """Streaming upfirdn carry: the last ``history`` input samples.
+
+    A NamedTuple pytree — threads through jit / lax.scan and can be
+    donated (the TPU analogue of the reference expert rung's out-buffer
+    reuse, src/core/fft.ts:89-106).
+    """
+
+    tail: Array
+
+
+def _upfirdn_history(k: int, up: int, down: int) -> int:
+    """Carry length: >= ceil((K-1)/up) samples, rounded up so the carry
+    keeps the output decimation grid aligned (history*up % down == 0)."""
+    g = math.gcd(up, down)
+    step = down // g
+    c = -(-(k - 1) // up)
+    return -(-c // step) * step
+
+
+def upfirdn_stream_init(h, up: int = 1, down: int = 1,
+                        batch_shape=(), dtype=jnp.float32) -> UpfirdnState:
+    """Zero streaming state (cold start = zero history, matching the
+    batch upfirdn's implicit zero left-padding)."""
+    k = np.asarray(h).shape[0]
+    hist = _upfirdn_history(k, up, down)
+    return UpfirdnState(tail=jnp.zeros(batch_shape + (hist,), dtype=dtype))
+
+
+def upfirdn_step(state: UpfirdnState, chunk, h, up: int = 1, down: int = 1):
+    """Chunked upfirdn: emits exactly the finalised batch samples.
+
+    Chunk length must satisfy len*up % down == 0 (keeps the carry shape
+    static under jit/scan). Concatenating the outputs of successive steps
+    equals the PREFIX of ``upfirdn`` over the concatenated stream — the
+    filter ring-out tail (the last ceil((K-up)/down) batch samples, which
+    depend on future input) is emitted once those samples arrive.
+    Complex chunks stream per plane with a shared-shape state pair.
+    """
+    if isinstance(chunk, ComplexArray):
+        raise TypeError("upfirdn_step streams real planes; split complex "
+                        "input and carry one state per plane")
+    chunk = jnp.asarray(chunk)
+    if jnp.iscomplexobj(chunk):
+        raise TypeError("upfirdn_step streams real planes; split complex "
+                        "input and carry one state per plane")
+    h = jnp.asarray(h)
+    k = h.shape[0]
+    if (chunk.shape[-1] * up) % down != 0:
+        raise ValueError(
+            f"chunk length {chunk.shape[-1]} must satisfy len*{up} % {down} == 0")
+    hist = _upfirdn_history(k, up, down)
+    buf = jnp.concatenate([state.tail, chunk], axis=-1)
+    full = upfirdn(buf, h, up, down)
+    start = hist * up // down
+    count = chunk.shape[-1] * up // down
+    out = full[..., start:start + count]
+    new_tail = buf[..., buf.shape[-1] - hist:]
+    return UpfirdnState(tail=new_tail), out
 
 
 def decimate(x, factor: int, taps=None, num_taps: int = 127) -> Array:

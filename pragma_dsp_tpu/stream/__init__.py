@@ -1,6 +1,7 @@
 """Streaming rung — caching service, streaming spectra, batched STFT
 (the TPU-native analogue of the reference's Effect side ladder)."""
 
+from .scan import jit_stream_step, scan_stream
 from .service import FourierService, default_service, spectrum_fx, spectrum_stream
 from .stft import (
     StftState,
@@ -14,6 +15,8 @@ from .stft import (
 )
 
 __all__ = [
+    "jit_stream_step",
+    "scan_stream",
     "FourierService",
     "default_service",
     "spectrum_fx",

@@ -17,7 +17,8 @@ from typing import Any, Callable, Dict, List, Optional
 import jax
 import numpy as np
 
-__all__ = ["BenchResult", "BenchContext", "checksum", "device_specs"]
+__all__ = ["BenchResult", "BenchContext", "checksum", "device_specs",
+           "memory_snapshot"]
 
 # Peak specs per TPU generation for roofline accounting.
 # (HBM GB/s, f32 matmul TFLOP/s, bf16 matmul TFLOP/s)
@@ -40,6 +41,31 @@ def device_specs() -> Dict[str, float]:
     return {"hbm_bytes_per_s": _DEVICE_SPECS["cpu"][0],
             "f32_flops": _DEVICE_SPECS["cpu"][1],
             "bf16_flops": _DEVICE_SPECS["cpu"][2], "kind": kind}
+
+
+def memory_snapshot() -> Dict[str, int]:
+    """Device + host memory snapshot (reference BenchContext.memory,
+    bench/reallife/helpers.ts:249-265: heap/RSS before+after each
+    section — here HBM live/peak via the PJRT allocator plus host RSS).
+
+    Returns zeros for fields a backend doesn't report (CPU has no
+    memory_stats; RSS falls back to /proc/self/status)."""
+    out = {"hbm_in_use_bytes": 0, "hbm_peak_bytes": 0, "host_rss_bytes": 0}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        out["hbm_in_use_bytes"] = int(stats.get("bytes_in_use", 0))
+        out["hbm_peak_bytes"] = int(stats.get("peak_bytes_in_use", 0))
+    except Exception:
+        pass
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    out["host_rss_bytes"] = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    return out
 
 
 def checksum(*arrays) -> float:
@@ -66,6 +92,17 @@ class BenchResult:
     hbm_bytes_per_call: Optional[int] = None
     flops_per_call: Optional[int] = None
     checksum: float = 0.0
+    mem_before: Optional[Dict[str, int]] = None
+    mem_after: Optional[Dict[str, int]] = None
+
+    @property
+    def hbm_growth_bytes(self) -> Optional[int]:
+        """Live-HBM delta across the timed section — ~0 for a
+        steady-state streaming loop with a donated carry."""
+        if self.mem_before is None or self.mem_after is None:
+            return None
+        return (self.mem_after["hbm_in_use_bytes"]
+                - self.mem_before["hbm_in_use_bytes"])
 
     @property
     def msamples_per_s(self) -> Optional[float]:
@@ -104,12 +141,14 @@ class BenchContext:
         for _ in range(warmup):
             out = fn()
         jax.block_until_ready(out)
+        mem_before = memory_snapshot()
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             out = fn()
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
+        mem_after = memory_snapshot()
         leaves = jax.tree_util.tree_leaves(out)
         res = BenchResult(
             name=name, iters=iters, min_s=min(times),
@@ -118,6 +157,7 @@ class BenchContext:
             hbm_bytes_per_call=hbm_bytes_per_call,
             flops_per_call=flops_per_call,
             checksum=checksum(*leaves[:2]),
+            mem_before=mem_before, mem_after=mem_after,
         )
         self.results.append(res)
         return res
@@ -135,6 +175,15 @@ class BenchContext:
                 line += f"  hbm {100*roof['hbm_fraction']:5.1f}%"
             if "mxu_fraction_f32" in roof:
                 line += f"  mxu {100*roof['mxu_fraction_f32']:5.1f}%"
+            growth = r.hbm_growth_bytes
+            if growth is not None and (r.mem_after or {}).get("hbm_in_use_bytes"):
+                line += f"  hbmΔ {growth/1e6:+.1f}MB"
             line += f"  sum {r.checksum:.6g}"
             lines.append(line)
+        mem = memory_snapshot()
+        if mem["hbm_in_use_bytes"] or mem["host_rss_bytes"]:
+            lines.append(
+                f"memory: hbm live {mem['hbm_in_use_bytes']/1e6:.1f} MB, "
+                f"hbm peak {mem['hbm_peak_bytes']/1e6:.1f} MB, "
+                f"host rss {mem['host_rss_bytes']/1e6:.1f} MB")
         return "\n".join(lines)

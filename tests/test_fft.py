@@ -81,3 +81,27 @@ def test_fft_over_axis0():
 def test_non_power_of_two_raises():
     with pytest.raises(ValueError):
         fft(jnp.zeros(12))
+
+
+def test_plan_routes_through_dispatch():
+    """Radix2Fft is built on ops.dispatch (round-1 VERDICT next-step #2):
+    forcing the pallas impl must flow through the expert rung and agree
+    with the portable stockham path (and numpy)."""
+    from pragma_dsp_tpu.ops.dispatch import set_fft_impl
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    set_fft_impl("pallas")
+    try:
+        out_p = Radix2Fft(256).forward(x)
+    finally:
+        set_fft_impl("auto")
+    out_s = Radix2Fft(256).forward(x)
+    ref = np.fft.fft(np.asarray(x, np.float64), axis=-1)
+    for out, label in ((out_p, "pallas"), (out_s, "auto")):
+        assert_close(ref.real, np.asarray(out.real), abs_tol=1e-3,
+                     label=f"{label} re")
+        assert_close(ref.imag, np.asarray(out.imag), abs_tol=1e-3,
+                     label=f"{label} im")
+    np.testing.assert_allclose(np.asarray(out_p.real), np.asarray(out_s.real),
+                               atol=2e-3)
