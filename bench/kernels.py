@@ -85,6 +85,16 @@ def main():
     t = timed(spec_step("bf16x3"), (re,), K)
     report("pallas fused spectrum bf16x3", t, K, S)
 
+    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amp_phase_pallas
+
+    def amp_phase_step(v):
+        amp, ph = spectrum_amp_phase_pallas(v, N, "hann", interp)
+        probe = (v[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, v.dtype)
+                 + ph[:1, :1] * jnp.asarray(1e-30, v.dtype))
+        return (lax.dynamic_update_slice(v, probe, (0, 0)),)
+    t = timed(amp_phase_step, (re,), K)
+    report("pallas fused amp+phase f32", t, K, S)
+
     def fs(r, i):
         o = fft_fourstep(ComplexArray(r, i))
         return o.real, o.imag

@@ -24,6 +24,7 @@ from .fft_pallas import (
     ifft_pallas,
     ifft_pallas_from_permuted,
     spectrum_amplitude_pallas,
+    spectrum_amp_phase_pallas,
 )
 from .fir import FirState, fir_filter, fir_step, fir_stream_init, overlap_save_filter
 from .rfft import irfft, paired_spectrum_amplitude, rfft
@@ -54,6 +55,7 @@ __all__ = [
     "fft_pallas_permuted",
     "ifft_pallas_from_permuted",
     "spectrum_amplitude_pallas",
+    "spectrum_amp_phase_pallas",
     "FirState",
     "fir_filter",
     "fir_step",

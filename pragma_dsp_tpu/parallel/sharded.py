@@ -124,7 +124,8 @@ def _build_sharded_spectrogram(mesh: Mesh, axis: str, n_fft: int, hop: int,
 def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
                         window: str = "hann", sample_rate: float = 1.0,
                         sides: str = "one", *, mesh: Mesh,
-                        axis: str = "x") -> SpectrumResult:
+                        axis: str = "x", pad_tail: bool = False
+                        ) -> SpectrumResult:
     """Spectrogram with the time axis sharded in contiguous blocks.
 
     Frames never straddle shards thanks to a (n_fft - hop)-sample halo
@@ -132,10 +133,14 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
     counts stay static, so the whole thing jits. Local block length must
     be a multiple of hop. Result frames are sharded over ``axis``.
 
-    Emits L/hop frames total: the first 1 + (L - n_fft)/hop match the
-    single-device spectrogram exactly; the trailing (n_fft-hop)/hop
-    frames treat the stream end as zero-padded (the last device has no
-    right neighbour), keeping per-shard shapes equal.
+    By default the result is EXACTLY the single-device
+    ``stream.spectrogram`` frame set (1 + (L - n_fft)//hop frames): the
+    per-shard shapes stay uniform inside shard_map and the trailing
+    (n_fft-hop)//hop frames — which would treat the stream end as
+    zero-padded, since the last device has no right neighbour — are
+    sliced off the global result. Pass ``pad_tail=True`` to keep them
+    (L//hop frames total, zero-padded stream end), e.g. when a uniform
+    frames-per-shard layout matters more than tail parity.
     """
     hop = hop if hop is not None else n_fft // 4
     x = jnp.asarray(x)
@@ -146,6 +151,14 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
     fn = _build_sharded_spectrogram(mesh, axis, n_fft, hop, window,
                                     float(sample_rate), sides, x.ndim)
     amp, ph, pidx, pfreq, pamp, pph = fn(x)
+    if not pad_tail:
+        n_exact = 1 + (x.shape[-1] - n_fft) // hop
+        amp = amp[..., :n_exact, :]
+        ph = ph[..., :n_exact, :]
+        pidx = pidx[..., :n_exact]
+        pfreq = pfreq[..., :n_exact]
+        pamp = pamp[..., :n_exact]
+        pph = pph[..., :n_exact]
     freqs = bin_frequencies(n_fft, sample_rate, sides, dtype=amp.dtype)
     return SpectrumResult(
         frequencies=freqs, amplitude=amp, phase=ph,

