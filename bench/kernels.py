@@ -21,7 +21,7 @@ def main():
     from jax import lax
 
     from pragma_dsp_tpu.core.complex import ComplexArray
-    from pragma_dsp_tpu.ops.fft_pallas import (_fft_pallas_3d,
+    from pragma_dsp_tpu.ops.fft_pallas import (_fft_pallas_2d,
                                                 spectrum_amplitude_pallas)
     from pragma_dsp_tpu.ops.fft_fourstep import fft_fourstep
     from pragma_dsp_tpu.ops.fir import fir_filter
@@ -38,8 +38,6 @@ def main():
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
     im = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
-    re3 = re.reshape(B, N // 128, 128)
-    im3 = im.reshape(B, N // 128, 128)
 
     def timed(step, argtuple, k):
         @jax.jit
@@ -63,15 +61,16 @@ def main():
         print(f"{name:32s} {per*1e3:8.3f} ms/iter  "
               f"{samples/per/1e6:9.0f} MS/s")
 
-    t = timed(lambda r, i: _fft_pallas_3d(r, i, N, False, interp),
-              (re3, im3), K)
-    report("pallas fft permuted 1024", t, K, S)
+    for prec in ("highest", "bf16x3"):
+        t = timed(lambda r, i: _fft_pallas_2d(r, i, N, False, interp, prec),
+                  (re, im), K)
+        report(f"pallas fft permuted 1024 {prec}", t, K, S)
 
-    def rt(r, i):
-        pr, pi = _fft_pallas_3d(r, i, N, False, interp)
-        return _fft_pallas_3d(pr, pi, N, True, interp)
-    t = timed(rt, (re3, im3), max(K // 2, 1))
-    report("pallas fft+ifft permuted", t, max(K // 2, 1), S)
+        def rt(r, i):
+            pr, pi = _fft_pallas_2d(r, i, N, False, interp, prec)
+            return _fft_pallas_2d(pr, pi, N, True, interp, prec)
+        t = timed(rt, (re, im), max(K // 2, 1))
+        report(f"pallas fft+ifft permuted {prec}", t, max(K // 2, 1), S)
 
     def spec_step(prec):
         def step(v):

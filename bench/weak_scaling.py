@@ -49,6 +49,13 @@ def main():
         return best
 
     on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # Round-1 VERDICT weak #7: CPU-mesh "efficiency" numbers carry no
+        # ICI meaning. Say so in the report instead of implying them.
+        print("NOTE: running on the virtual CPU mesh — numbers below are a "
+              "collective-logic SMOKE TEST only;\nper-device efficiency on "
+              "shared host cores says NOTHING about ICI weak scaling. "
+              "Run on a pod for real >=90% evidence.")
     print("== weak scaling: sharded spectrogram (per-device load fixed) ==")
     per_dev = (1 << 17) if on_tpu else (1 << 14)
     n_fft, hop = (1024, 256) if on_tpu else (256, 64)

@@ -2,26 +2,37 @@
 
 The jnp four-step path (ops/fft_fourstep.py) lowers to several XLA kernels
 with HBM round-trips between them. These kernels keep the whole transform
-in VMEM: load a (TILE_B, N2, N1) block (N1 = 128 in the lane axis
-throughout), run DFT_N2 as roll-based DIF radix-2 stages on the VPU over
-the sublane axis (keeping the batch tile in the sublane position
-end-to-end — measured ~2x the throughput of a dot_general over the tiny
-N2 axis, whose (k2, tb, l) output layout forces a sublane-granularity
-relayout), twiddle, DFT_128 (native MXU matmul) — one store.
+in VMEM and are *plane-structured* (the layout strategy that put the
+one-sided spectrum kernel at the HBM roofline): the (TB, N) block is
+sliced into N2 = N/128 free lane-tile planes x_s = x[:, 128s:128(s+1)]
+(time t = 128 s + l), the small DFT_N2 across planes is a trace-time
+radix-2 recursion of VPU plane adds (no rolls, no bit-reversal cleanup),
+the four-step twiddle W_N^{lu} is one (1, 128)-broadcast VPU multiply per
+row, and the lane-axis DFT_128 is ONE shared (256, 256) block matrix
+FF = [[F_re, F_im], [-F_im, F_re]] contracted against [T_re | T_im] lane
+concats — a full-width MXU dot per row, per direction.
 
 Digit order: the four-step corner turn (X[k] lives at digit-swapped
 (k1, k2)) is the one data movement TPU tiles hate: any VMEM buffer whose
 minor dim is the small digit N2 pads lanes 128/N2-fold. So:
 
-* the forward kernel emits **permuted order** P[b, k2, k1] = X[k2 + N2*k1]
-  (lanes stay 128-wide, no in-kernel corner turn);
+* the forward kernel emits **permuted order**: row u of the output holds
+  bins X[u + N2*v] at lane v, i.e. the (B, N2, N1) view of the 2D output
+  is P[b, k2, k1] = X[k2 + N2*k1] (lanes stay 128-wide, no in-kernel
+  corner turn);
 * the inverse kernel **consumes** permuted order and emits natural time
-  order (the inverse four-step absorbs the digit swap symmetrically), so
+  order (the inverse four-step absorbs the digit swap symmetrically:
+  lane DFT first, twiddle, then plane DFT back to time planes), so
   fft -> pointwise -> ifft pipelines (overlap-save convolution!) never
   pay a transpose at all;
 * natural-order fft/ifft wrappers add exactly one XLA transpose on the
   (B, N2, N1) view, outside the kernel where XLA's relayout machinery
   handles it.
+
+precision="bf16x3" runs the shared-matrix dots as three DEFAULT bf16
+passes on hi/lo-split operands (~18-bit effective mantissa, SNR ~110 dB
+vs f64 — half the MXU time of the 6-pass f32 HIGHEST dots). The default
+"highest" keeps SNR ~140 dB for numerical parity with the fixtures.
 
 On non-TPU backends kernels run in interpreter mode automatically — the
 SURVEY.md §5 "sanitizer build" analogue.
@@ -39,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.complex import Array, ComplexArray, as_complex_array, is_power_of_two
-from .fft_fourstep import _dft_matrix, _twiddle_grid
+from .fft_fourstep import _dft_matrix
 
 __all__ = [
     "fft_pallas",
@@ -75,104 +86,133 @@ def _split(n: int) -> Tuple[int, int]:
     return n // n1, n1  # (n2, n1)
 
 
-def _plan_consts(n: int, sign: float, dtype, inverse_layout: bool
-                 ) -> Tuple[np.ndarray, ...]:
-    """Constant tables passed as kernel inputs (Pallas cannot capture
-    array constants): (cs, ss, tc, ts, fr, fi).
+def _np_bsplit(m: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Trace-time hi/lo bf16 split of an f32 constant matrix."""
+    bf16 = np.dtype(jnp.bfloat16.dtype)
+    m32 = np.asarray(m, np.float32)
+    hi = m32.astype(bf16)
+    lo = (m32 - hi.astype(np.float32)).astype(bf16)
+    return hi, lo
 
-    (cs, ss) are the per-row DIF stage twiddles for the roll-based
-    sublane DFT_N2 (stacked (S, n2, 1)); (tc, ts) is the four-step
-    twiddle grid W_N^(n1*k2), shaped (1, n2, n1) — rows PRE-PERMUTED by
-    bit reversal for the forward direction (the DIF sublane stage emits
-    bit-reversed rows, which the kernel un-reverses after the lane
-    dots), natural for the inverse (whose sublane stage runs last);
-    F = DFT_N1 for the lane-axis MXU contraction."""
-    if n <= LANES:
-        fr, fi = _dft_matrix(n, sign)
-        one = np.ones((1, 1, 1))
-        return (one.astype(dtype),) * 4 + (fr.astype(dtype), fi.astype(dtype))
-    n2, n1 = _split(n)
-    cs, ss = _dif_stage_consts(n2, sign)
-    tc, ts = _twiddle_grid(n, n2, n1, sign)
-    fr, fi = _dft_matrix(n1, sign)
-    if not inverse_layout:
-        brev = _bitrev_perm(n2)
-        tc = tc[brev]
-        ts = ts[brev]
-    tc = tc.reshape(1, n2, n1)
-    ts = ts.reshape(1, n2, n1)
-    return (cs.astype(dtype), ss.astype(dtype), tc.astype(dtype),
-            ts.astype(dtype), fr.astype(dtype), fi.astype(dtype))
+
+def _bsplit(a):
+    """Runtime hi/lo bf16 split of an f32 operand (bf16x3 dot inputs)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _df_dot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _fft_plan(n: int, inverse: bool, precision: str) -> Tuple[np.ndarray, ...]:
+    """Trace-time constants for the plane-structured FFT kernels
+    (numpy only — this cache can be hit inside a jit trace).
+
+    FF is the shared lane-DFT block matrix [[F_re, F_im], [-F_im, F_re]]
+    so [T_re | T_im] @ FF = [Y_re | Y_im] in one contraction; the inverse
+    folds the 1/N scale into FF. (twc, tws) is the four-step twiddle
+    W_N^{sign*l*u} as an (n2, 128) row table, applied on the VPU before
+    (forward) or after (inverse) the lane dot. bf16x3 pre-splits FF."""
+    sign = 1.0 if inverse else -1.0
+    m = LANES if n > LANES else n
+    fr, fi = _dft_matrix(m, sign)
+    if inverse:
+        fr = fr / n
+        fi = fi / n
+    ff = np.block([[fr, fi], [-fi, fr]]).astype(np.float32)
+    if n > LANES:
+        n2, n1 = _split(n)
+        u = np.arange(n2, dtype=np.float64)[:, None]
+        l = np.arange(n1, dtype=np.float64)[None, :]
+        ang = sign * 2.0 * np.pi * u * l / n
+        twc = np.cos(ang).astype(np.float32)
+        tws = np.sin(ang).astype(np.float32)
+    else:
+        twc = np.zeros((1, m), np.float32)
+        tws = np.zeros((1, m), np.float32)
+    if precision == "bf16x3":
+        ffh, ffl = _np_bsplit(ff)
+        return ffh, ffl, twc, tws
+    return ff, twc, tws
 
 
 # ── kernel cores ─────────────────────────────────────────────────────
 
 
-def _fwd_block(xr, xi, consts, n: int):
-    """(TB, N2, N1) natural time -> (TB, N2, N1) permuted frequency
-    (P[b, k2, k1] = X[k2 + N2*k1]); xi may be None for real input.
+def _fft2d_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast):
+    """(TB, N) 2D blocks in and out; see module docstring for dataflow.
 
-    Everything stays tb-major: the sublane DFT_N2 is roll-DIF on the
-    VPU (an MXU dot over the tiny N2 axis forces a (k2, tb, l) layout
-    whose final sublane-granularity transpose dominated the kernel),
-    the twiddle grid rows are pre-permuted to the DIF bit-reversed
-    order, and the rows are un-reversed after the lane dots."""
-    cs, ss, tc, ts, fr, fi = consts
+    forward: lane-tile planes -> plane DFT_N2 (sign -1) -> per-row
+    twiddle -> shared-FF lane dot -> row u stored at lanes [128u, 128u+128)
+    (the permuted-order contract). inverse: per-row shared-GG lane dot
+    (1/N folded) -> twiddle (sign +1) -> plane DFT_N2 (sign +1) -> time
+    plane s stored at lanes [128s, 128s+128) (natural order)."""
+    ore_ref, oim_ref = refs[-2], refs[-1]
+    if fast:
+        ffh_ref, ffl_ref, twc_ref, tws_ref = refs[:4]
+
+        def mm(cat):
+            hi, lo = _bsplit(cat)
+            ffh = ffh_ref[:]
+            return _df_dot(hi, ffh) + (_df_dot(hi, ffl_ref[:])
+                                       + _df_dot(lo, ffh))
+    else:
+        ff_ref, twc_ref, tws_ref = refs[:3]
+
+        def mm(cat):
+            return _hi_dot(cat, ff_ref[:])
+
+    odt = ore_ref.dtype
     if n <= LANES:
-        if xi is None:
-            xi = jnp.zeros_like(xr)
-        rr = _hi_dot(xr, fr) - _hi_dot(xi, fi)
-        ii = _hi_dot(xr, fi) + _hi_dot(xi, fr)
-        return rr, ii
-    n2 = xr.shape[1]
-    rr, ii = _dif_sublane(xr, xi, n2, cs, ss)      # bit-reversed rows
-    tr = rr * tc - ii * ts                         # pre-permuted grid
-    ti = rr * ts + ii * tc
-    d3 = _dg((((2,), (0,)), ((), ())))
-    orr = d3(tr, fr) - d3(ti, fi)                  # (b, k2, k1), tb-major
-    oii = d3(tr, fi) + d3(ti, fr)
-    return _unbitrev_rows(orr, n2), _unbitrev_rows(oii, n2)
-
-
-def _inv_block(pr, pi, consts, n: int):
-    """(TB, N2, N1) permuted frequency -> (TB, N2, N1) natural time.
-
-    x[n1 + N1*n2] = 1/N * DFT+_N2( W_N^(+n1*k2) * DFT+_N1( P[k2, k1] ) )
-    — same structure as forward with the two sub-DFTs swapped, so the
-    digit swap cancels and the output is naturally ordered. The final
-    sublane DFT+ is roll-DIF (natural k2 in, bit-reversed n2 rows out,
-    un-reversed with rolls)."""
-    cs, ss, tc, ts, fr, fi = consts
-    if n <= LANES:
-        rr = _hi_dot(pr, fr) - _hi_dot(pi, fi)
-        ii = _hi_dot(pr, fi) + _hi_dot(pi, fr)
-        return rr, ii
-    n2 = pr.shape[1]
-    # DFT+ over lanes (k1) first: (b, k2, k1) -> (b, k2, n1).
-    d1 = _dg((((2,), (0,)), ((), ())))
-    rr = d1(pr, fr) - d1(pi, fi)
-    ii = d1(pr, fi) + d1(pi, fr)
-    # Twiddle W_N^(+n1*k2) — (1, k2, n1) broadcasts over b.
-    tr = rr * tc - ii * ts
-    ti = rr * ts + ii * tc
-    # DFT+ over k2 (sublane axis) via roll-DIF, then un-bit-reverse.
-    orr, oii = _dif_sublane(tr, ti, n2, cs, ss)
-    return _unbitrev_rows(orr, n2), _unbitrev_rows(oii, n2)
-
-
-def _fft_kernel(re_ref, im_ref, cs, ss, tc, ts, fr, fi, ore_ref, oim_ref,
-                *, n, inverse, scale):
-    xr = re_ref[:]
-    xi = im_ref[:]
-    consts = (cs[:], ss[:], tc[:], ts[:], fr[:], fi[:])
-    block = _inv_block if inverse else _fwd_block
-    orr, oii = block(xr, xi, consts, n)
-    if scale != 1.0:
-        s = jnp.asarray(scale, xr.dtype)
-        orr = orr * s
-        oii = oii * s
-    ore_ref[:] = orr
-    oim_ref[:] = oii
+        cat = jnp.concatenate(
+            [re_ref[:].astype(jnp.float32), im_ref[:].astype(jnp.float32)],
+            axis=1)
+        y = mm(cat)
+        ore_ref[:] = y[:, :n].astype(odt)
+        oim_ref[:] = y[:, n:].astype(odt)
+        return
+    L = LANES
+    if not inverse:
+        xs_r = [re_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
+                for s in range(n2)]
+        xs_i = [im_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
+                for s in range(n2)]
+        ar, ai = _plane_dft(xs_r, xs_i, -1.0)
+        for u in range(n2):
+            if u == 0:
+                tr, ti = ar[0], ai[0]      # W_N^0 = 1
+            else:
+                c = twc_ref[u:u + 1, :]
+                s = tws_ref[u:u + 1, :]
+                tr = ar[u] * c - ai[u] * s
+                ti = ar[u] * s + ai[u] * c
+            y = mm(jnp.concatenate([tr, ti], axis=1))
+            ore_ref[:, L * u:L * (u + 1)] = y[:, :L].astype(odt)
+            oim_ref[:, L * u:L * (u + 1)] = y[:, L:].astype(odt)
+    else:
+        br, bi = [], []
+        for u in range(n2):
+            cat = jnp.concatenate(
+                [re_ref[:, L * u:L * (u + 1)].astype(jnp.float32),
+                 im_ref[:, L * u:L * (u + 1)].astype(jnp.float32)], axis=1)
+            y = mm(cat)
+            yr, yi = y[:, :L], y[:, L:]
+            if u == 0:
+                br.append(yr)
+                bi.append(yi)
+            else:
+                c = twc_ref[u:u + 1, :]
+                s = tws_ref[u:u + 1, :]
+                br.append(yr * c - yi * s)
+                bi.append(yr * s + yi * c)
+        xr, xi = _plane_dft(br, bi, 1.0)
+        for s_ in range(n2):
+            ore_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
+            oim_ref[:, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
 
 
 # Per-generation kernel tuning (round-1 VERDICT weak #8: v5e-pinned tile
@@ -250,40 +290,38 @@ def _const_spec(arr):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
-def _fft_pallas_3d(re: Array, im: Array, n: int, inverse: bool,
-                   interpret: bool) -> Tuple[Array, Array]:
-    """Core call: 2D (batch, n<=128) or 3D (batch, N2, N1) in and out.
+@functools.partial(jax.jit,
+                   static_argnames=("n", "inverse", "interpret", "precision"))
+def _fft_pallas_2d(re: Array, im: Array, n: int, inverse: bool,
+                   interpret: bool, precision: str = "highest"
+                   ) -> Tuple[Array, Array]:
+    """Core call: 2D (batch, n) in and out.
 
-    forward: natural-in -> permuted-out; inverse: permuted-in -> natural-out.
+    forward: natural-in -> permuted-out (row u at lanes [128u, 128u+128)
+    holds X[u + N2*v], i.e. the (batch, N2, N1) reshape is the permuted
+    P[b, k2, k1] = X[k2 + N2*k1]); inverse: permuted-in -> natural-out.
     """
     batch = re.shape[0]
     tb = _pick_tile(batch, n)
     (re, im), padded = _pad_batch((re, im), batch, tb)
-    sign = 1.0 if inverse else -1.0
-    scale = 1.0 / n if inverse else 1.0
-    consts = [jnp.asarray(c)
-              for c in _plan_consts(n, sign, re.dtype, inverse_layout=inverse)]
-    kernel = functools.partial(_fft_kernel, n=n, inverse=inverse, scale=scale)
-    if n <= LANES:
-        spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((padded, n), re.dtype)] * 2
-        specs = [spec, spec]
-        out_specs = [spec, spec]
-    else:
-        n2, n1 = _split(n)
-        spec = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((padded, n2, n1), re.dtype)] * 2
-        specs = [spec, spec]
-        out_specs = [spec, spec]
+    consts = [jnp.asarray(c) for c in _fft_plan(n, inverse, precision)]
+    n2 = n // LANES if n > LANES else 1
+    kernel = functools.partial(_fft2d_kernel, n=n, n2=n2, inverse=inverse,
+                               fast=(precision == "bf16x3"))
+    spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((padded, n), re.dtype)] * 2
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
     ore, oim = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
-        in_specs=specs + [_const_spec(c) for c in consts],
-        out_specs=out_specs,
+        in_specs=[spec, spec] + [_const_spec(c) for c in consts],
+        out_specs=[spec, spec],
         out_shape=out_shape,
         interpret=interpret,
+        **kw,
     )(re, im, *consts)
     return ore[:batch], oim[:batch]
 
@@ -319,11 +357,15 @@ def _flatten_batch(xc: ComplexArray, axis: int):
 
 
 def fft_pallas_permuted(x, axis: int = -1,
-                        interpret: Optional[bool] = None) -> ComplexArray:
+                        interpret: Optional[bool] = None,
+                        precision: str = "highest") -> ComplexArray:
     """Forward FFT emitting digit-permuted bins: result planes have shape
     [batch..., N2, N1] with P[..., k2, k1] = X[k2 + N2*k1] (or [..., n]
     natural when n <= 128). Use for fft->pointwise->ifft pipelines: pair
-    with :func:`ifft_pallas_from_permuted` and no transpose is ever paid."""
+    with :func:`ifft_pallas_from_permuted` and no transpose is ever paid.
+
+    precision: "highest" (f32 MXU dots, SNR ~140 dB vs f64) or "bf16x3"
+    (split-bf16 dots, SNR ~110 dB, ~half the MXU time)."""
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
     if not is_power_of_two(n):
@@ -332,49 +374,47 @@ def fft_pallas_permuted(x, axis: int = -1,
     re2, im2, shape = _flatten_batch(xc, axis)
     if n > LANES:
         n2, n1 = _split(n)
-        re2 = re2.reshape(-1, n2, n1)
-        im2 = im2.reshape(-1, n2, n1)
         out_batch_shape = shape[:-1] + (n2, n1)
     else:
         out_batch_shape = shape
-    ore, oim = _fft_pallas_3d(re2, im2, n, False, interp)
+    ore, oim = _fft_pallas_2d(re2, im2, n, False, interp, precision)
     return ComplexArray(ore.reshape(out_batch_shape),
                         oim.reshape(out_batch_shape))
 
 
 def ifft_pallas_from_permuted(p: ComplexArray, axis_shape_n: int,
-                              interpret: Optional[bool] = None) -> ComplexArray:
+                              interpret: Optional[bool] = None,
+                              precision: str = "highest") -> ComplexArray:
     """Inverse FFT consuming digit-permuted bins ([batch..., N2, N1]),
     emitting natural time order [batch..., n] over the last axis."""
     n = axis_shape_n
     interp = _use_interpret() if interpret is None else interpret
     pr, pi = p.real, p.imag
     if n > LANES:
-        n2, n1 = _split(n)
         batch_shape = pr.shape[:-2]
-        pr = pr.reshape(-1, n2, n1)
-        pi = pi.reshape(-1, n2, n1)
     else:
         batch_shape = pr.shape[:-1]
-        pr = pr.reshape(-1, n)
-        pi = pi.reshape(-1, n)
-    ore, oim = _fft_pallas_3d(pr, pi, n, True, interp)
+    pr = pr.reshape(-1, n)
+    pi = pi.reshape(-1, n)
+    ore, oim = _fft_pallas_2d(pr, pi, n, True, interp, precision)
     return ComplexArray(ore.reshape(batch_shape + (n,)),
                         oim.reshape(batch_shape + (n,)))
 
 
-def fft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexArray:
+def fft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
+               precision: str = "highest") -> ComplexArray:
     """Forward FFT, natural bin order (numpy convention, unnormalised)."""
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
-    p = fft_pallas_permuted(xc, axis, interpret)
+    p = fft_pallas_permuted(xc, axis, interpret, precision)
     ore = permuted_to_natural(p.real, n)
     oim = permuted_to_natural(p.imag, n)
     ax = axis % xc.real.ndim
     return ComplexArray(jnp.moveaxis(ore, -1, ax), jnp.moveaxis(oim, -1, ax))
 
 
-def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexArray:
+def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
+                precision: str = "highest") -> ComplexArray:
     """Inverse FFT with 1/N normalisation, natural order both sides."""
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
@@ -382,7 +422,7 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexA
         raise ValueError(f"FFT size must be power of two, got {n}")
     re2, im2, shape = _flatten_batch(xc, axis)
     p = ComplexArray(natural_to_permuted(re2, n), natural_to_permuted(im2, n))
-    out = ifft_pallas_from_permuted(p, n, interpret)
+    out = ifft_pallas_from_permuted(p, n, interpret, precision)
     ax = axis % xc.real.ndim
     ore = out.real.reshape(shape)
     oim = out.imag.reshape(shape)
@@ -432,100 +472,6 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None) -> ComplexA
 # MXU 29 GFLOP = 0.147 ms at peak).
 
 
-def _bitrev_perm(n2: int) -> np.ndarray:
-    bits = n2.bit_length() - 1
-    r = np.arange(n2)
-    out = np.zeros(n2, dtype=np.int64)
-    for b in range(bits):
-        out = (out << 1) | ((r >> b) & 1)
-    return out
-
-
-def _sub_iota(shape):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-
-
-def _dif_stage_consts(n2: int, sign: float) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-row twiddle (cos, sin) for every DIF stage, stacked (S, n2, 1).
-
-    Stage s (block m = n2 >> s, half d = m/2): top rows (j < d) pass
-    through (c=1, s=0); bottom rows multiply by W_m^j (j = row-in-block
-    − d), the classic decimation-in-frequency split."""
-    bits = n2.bit_length() - 1
-    cs = np.ones((bits, n2, 1))
-    ss = np.zeros((bits, n2, 1))
-    for s in range(bits):
-        m = n2 >> s
-        d = m // 2
-        for r in range(n2):
-            j = r % m
-            if j >= d:
-                ang = sign * 2.0 * np.pi * (j - d) / m
-                cs[s, r, 0] = np.cos(ang)
-                ss[s, r, 0] = np.sin(ang)
-    return cs, ss
-
-
-def _dif_sublane(xr, xi, n2: int, cs_ref, ss_ref):
-    """DFT_n2 over the sublane axis of (tb, n2, n1) via DIF radix-2
-    roll/select stages (direction set by the (cs, ss) stage tables).
-    xi=None means real input (the imaginary plane appears at the first
-    twiddle). Returns (re, im) with rows in BIT-REVERSED u order
-    (row r holds output u = bitrev(r))."""
-    bits = n2.bit_length() - 1
-    ii = _sub_iota(xr.shape)
-    yr, yi = xr, xi
-    for s in range(bits):
-        m = n2 >> s
-        d = m // 2
-        top = (ii % m) < d
-        c = cs_ref[s]
-        sn = ss_ref[s]
-        rp_r = pltpu.roll(yr, d, 1)
-        rm_r = pltpu.roll(yr, n2 - d, 1)
-        pre_r = jnp.where(top, yr + rm_r, rp_r - yr)
-        if yi is None:
-            # first stage of a real input: imaginary appears via twiddle
-            yr = pre_r * c
-            yi = pre_r * sn
-        else:
-            rp_i = pltpu.roll(yi, d, 1)
-            rm_i = pltpu.roll(yi, n2 - d, 1)
-            pre_i = jnp.where(top, yi + rm_i, rp_i - yi)
-            yr = pre_r * c - pre_i * sn
-            yi = pre_r * sn + pre_i * c
-    if yi is None:  # n2 == 1
-        yi = jnp.zeros_like(yr)
-    return yr, yi
-
-
-def _unbitrev_rows(amp, n2: int):
-    """Undo the DIF bit-reversal on the sublane axis with rolls+masks
-    (out[r] = amp[bitrev(r)]; bit reversal is an involution)."""
-    brev = _bitrev_perm(n2)
-    need = (np.arange(n2) - brev) % n2           # roll that sources row r
-    shifts = sorted({int(s) for s in need} - {0})
-    if not shifts:
-        return amp
-    row = _sub_iota(amp.shape)
-
-    def row_mask(rows):
-        m = None
-        for r in rows:
-            t = row == int(r)
-            m = t if m is None else (m | t)
-        return m
-
-    out = jnp.zeros_like(amp)
-    rows0 = np.where(need == 0)[0]
-    if len(rows0):
-        out = out + jnp.where(row_mask(rows0), amp, 0.0)
-    for sh in shifts:
-        out = out + jnp.where(row_mask(np.where(need == sh)[0]),
-                              pltpu.roll(amp, sh, 1), 0.0)
-    return out
-
-
 def _snap(v: float) -> float:
     """Snap a trace-time twiddle component to exact 0/±1 (so the plane
     recursion can specialise trivial multiplies away)."""
@@ -554,9 +500,16 @@ def _psub(a, b):
 def _pscale(a, c: float):
     if a is None or c == 1.0:
         return a
+    if c == 0.0:
+        return None  # exact-zero plane: propagate as None, not a*0 work
     if c == -1.0:
         return -a
     return a * c
+
+
+def _pmul(a, c):
+    """None-aware plane * array multiply (c a broadcastable array)."""
+    return None if a is None else a * c
 
 
 def _plane_dft(res, ims, sign: float):
@@ -699,16 +652,11 @@ def _spectrum_onesided_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast,
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
 
-    def bsplit(a):
-        hi = a.astype(jnp.bfloat16)
-        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, lo
-
     if fast:
         mah_ref, mal_ref, mbh_ref, mbl_ref = refs[:4]
 
         def row(plane, m_ref, u):
-            hi, lo = bsplit(plane)
+            hi, lo = _bsplit(plane)
             mh = m_ref[u]
             ml = (mal_ref if m_ref is mah_ref else mbl_ref)[u]
             return dot(hi, mh) + (dot(hi, ml) + dot(lo, mh))
@@ -815,19 +763,41 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     return out[:batch]
 
 
-def _spectrum_kernel(x_ref, win_ref, cs, ss, tc, ts, fr, fi, oamp_ref, *, n):
+def _spectrum_kernel(x_ref, win_ref, ff_ref, twc_ref, tws_ref, oamp_ref,
+                     *, n, n2):
     """window -> FFT -> |X| -> 1/N scaling, all in VMEM; permuted bins.
 
     Implements the beginner-rung pipeline core (reference
     src/public/spectrum.ts:117-127) as one kernel; peak detection, phase
     and one-sided doubling happen outside on the small bin arrays.
-    """
-    x = x_ref[:]
-    xw = x * win_ref[:]
-    consts = (cs[:], ss[:], tc[:], ts[:], fr[:], fi[:])
-    orr, oii = _fwd_block(xw, None, consts, n)
-    mag = jnp.sqrt(orr * orr + oii * oii)
-    oamp_ref[:] = mag * jnp.asarray(1.0 / n, x.dtype)
+    Plane-structured real-input forward: exactly-zero imaginary planes
+    propagate as None through the plane DFT and skip their work."""
+    inv_n = jnp.asarray(1.0 / n, jnp.float32)
+    if n <= LANES:
+        xw = (x_ref[:] * win_ref[:]).astype(jnp.float32)
+        y = _hi_dot(xw, ff_ref[:n])       # real input: top FF rows only
+        mag = jnp.sqrt(y[:, :n] ** 2 + y[:, n:] ** 2)
+        oamp_ref[:] = (mag * inv_n).astype(oamp_ref.dtype)
+        return
+    L = LANES
+    xs = [(x_ref[:, L * s:L * (s + 1)]
+           * win_ref[:, L * s:L * (s + 1)]).astype(jnp.float32)
+          for s in range(n2)]
+    ar, ai = _plane_dft(xs, [None] * n2, -1.0)
+    for u in range(n2):
+        if u == 0:
+            tr, ti = ar[0], ai[0]
+        else:
+            c = twc_ref[u:u + 1, :]
+            s = tws_ref[u:u + 1, :]
+            tr = _psub(_pmul(ar[u], c), _pmul(ai[u], s))
+            ti = _padd(_pmul(ar[u], s), _pmul(ai[u], c))
+        if ti is None:
+            y = _hi_dot(tr, ff_ref[:L])   # zero imag plane: half the dot
+        else:
+            y = _hi_dot(jnp.concatenate([tr, ti], axis=1), ff_ref[:])
+        mag = jnp.sqrt(y[:, :L] ** 2 + y[:, L:] ** 2)
+        oamp_ref[:, L * u:L * (u + 1)] = (mag * inv_n).astype(oamp_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "window", "interpret"))
@@ -837,28 +807,15 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
     batch = x.shape[0]
     tb = _pick_tile(batch, n, plane_budget=1024 * 1024)
     wvals = window_values(window, n)
-    consts = [jnp.asarray(c)
-              for c in _plan_consts(n, -1.0, x.dtype, inverse_layout=False)]
-    kernel = functools.partial(_spectrum_kernel, n=n)
-    if n <= LANES:
-        spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        win = jnp.asarray(wvals.reshape(1, n), dtype=x.dtype)
-        in_x = x
-    else:
-        n2, n1 = _split(n)
-        spec = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-        # Window indexed by time n = n1 + N1*n2 matches the (n2, n1) view.
-        win = jnp.asarray(wvals.reshape(1, n2, n1), dtype=x.dtype)
-        in_x = x.reshape(batch, n2, n1)
-    (in_x,), padded = _pad_batch((in_x,), batch, tb)
-    out_shape = jax.ShapeDtypeStruct((padded,) + in_x.shape[1:], x.dtype)
+    consts = [jnp.asarray(c) for c in _fft_plan(n, False, "highest")]
+    n2 = n // LANES if n > LANES else 1
+    kernel = functools.partial(_spectrum_kernel, n=n, n2=n2)
+    spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    win = jnp.asarray(wvals.reshape(1, n), dtype=x.dtype)
+    (in_x,), padded = _pad_batch((x,), batch, tb)
+    out_shape = jax.ShapeDtypeStruct((padded, n), x.dtype)
     kw = {}
     if not interpret:
-        # The TB=256 tile sits ~1% above the default 16MB scoped-vmem
-        # cap once the kernel's intermediates are counted; raising the
-        # per-kernel limit keeps the faster tile (measured +47% at
-        # n=1024 vs TB=128).
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
     amp = pl.pallas_call(
@@ -870,7 +827,10 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
         interpret=interpret,
         **kw,
     )(in_x, win, *consts)
-    return amp[:batch]  # permuted (batch, N2, N1) for n > 128, else (batch, n)
+    amp = amp[:batch]
+    if n > LANES:
+        return amp.reshape(batch, n2, LANES)  # permuted (batch, N2, N1) view
+    return amp
 
 
 def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
@@ -891,8 +851,8 @@ def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
     if x.shape[-1] != n:
         raise ValueError(f"frame length {x.shape[-1]} != n {n}")
     if n > LANES and not is_power_of_two(n):
-        # The roll-DIF sublane stage needs n/128 to be a power of two
-        # (n <= 128 uses a dense DFT matrix and accepts any size).
+        # The trace-time plane-DFT recursion needs n/128 to be a power of
+        # two (n <= 128 uses a dense DFT matrix and accepts any size).
         raise ValueError(f"spectrum size must be a power of two, got {n}")
     if precision not in ("highest", "bf16x3"):
         raise ValueError(f"unknown precision {precision!r}")

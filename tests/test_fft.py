@@ -105,3 +105,37 @@ def test_plan_routes_through_dispatch():
                      label=f"{label} im")
     np.testing.assert_allclose(np.asarray(out_p.real), np.asarray(out_s.real),
                                atol=2e-3)
+
+
+def test_pallas_precision_modes():
+    """bf16x3 split-dot mode keeps >=100 dB SNR vs numpy f64 and the
+    permuted->natural contract identical to the highest-precision path
+    (ops/fft_pallas.py precision plumbing)."""
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        fft_pallas, fft_pallas_permuted, ifft_pallas_from_permuted,
+        permuted_to_natural)
+
+    rng = np.random.default_rng(11)
+    n = 512
+    z = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    ref = np.fft.fft(z, axis=-1)
+    xc = ComplexArray(jnp.asarray(z.real, jnp.float32),
+                      jnp.asarray(z.imag, jnp.float32))
+
+    def snr(ref_c, out):
+        got = np.asarray(out.real) + 1j * np.asarray(out.imag)
+        err = np.linalg.norm(got - ref_c)
+        return 20 * np.log10(np.linalg.norm(ref_c) / max(err, 1e-300))
+
+    for prec in ("highest", "bf16x3"):
+        out = fft_pallas(xc, precision=prec)
+        bound = 120.0 if prec == "highest" else 100.0
+        assert snr(ref, out) > bound, (prec, snr(ref, out))
+        p = fft_pallas_permuted(xc, precision=prec)
+        nat_re = permuted_to_natural(p.real, n)
+        np.testing.assert_allclose(nat_re, np.asarray(out.real), rtol=0,
+                                   atol=0)
+        rt = ifft_pallas_from_permuted(p, n, precision=prec)
+        rt_c = np.asarray(rt.real) + 1j * np.asarray(rt.imag)
+        err = np.linalg.norm(rt_c - z)
+        assert 20 * np.log10(np.linalg.norm(z) / max(err, 1e-300)) > bound
