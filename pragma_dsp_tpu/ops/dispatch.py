@@ -59,23 +59,29 @@ def _resolve(xc: ComplexArray, axis: int) -> str:
     return "fourstep"
 
 
-def fft(x, axis: int = -1, impl: Optional[str] = None) -> ComplexArray:
-    """Forward FFT (numpy convention, unnormalised) via the best backend path."""
+def fft(x, axis: int = -1, impl: Optional[str] = None,
+        precision: str = "highest") -> ComplexArray:
+    """Forward FFT (numpy convention, unnormalised) via the best backend path.
+
+    ``precision`` ("highest" | "bf16x3") applies to the pallas path only
+    (the other impls are already full-f32); see ops/fft_pallas.py.
+    """
     xc = as_complex_array(x)
     chosen = impl if impl is not None else _resolve(xc, axis)
     if chosen == "pallas":
-        return fft_pallas(xc, axis)
+        return fft_pallas(xc, axis, precision=precision)
     if chosen == "fourstep":
         return fft_fourstep(xc, axis)
     return _fft_stockham(xc, axis)
 
 
-def ifft(x, axis: int = -1, impl: Optional[str] = None) -> ComplexArray:
+def ifft(x, axis: int = -1, impl: Optional[str] = None,
+         precision: str = "highest") -> ComplexArray:
     """Inverse FFT with 1/N normalisation via the best backend path."""
     xc = as_complex_array(x)
     chosen = impl if impl is not None else _resolve(xc, axis)
     if chosen == "pallas":
-        return ifft_pallas(xc, axis)
+        return ifft_pallas(xc, axis, precision=precision)
     if chosen == "fourstep":
         return ifft_fourstep(xc, axis)
     return _ifft_stockham(xc, axis)

@@ -44,33 +44,38 @@ def _conv_causal(x: Array, taps: Array) -> Array:
     return y.reshape(batch_shape + (length,))
 
 
-def fir_filter(x, taps, method: str = "auto") -> Array:
+def fir_filter(x, taps, method: str = "auto",
+               precision: str = "highest") -> Array:
     """Apply a real FIR filter causally along the last axis.
 
     method: 'direct' (XLA conv), 'overlap_save' (FFT blocks), or 'auto'
     (overlap-save once the tap count makes FFT cheaper).
     Complex input is filtered per plane (taps are real).
+    precision: 'highest' (f32 MXU dots) or 'bf16x3' (split-bf16 FFT
+    dots, ~105 dB SNR, ~1.8x on the overlap-save path; ignored by the
+    direct conv).
     """
     taps = jnp.asarray(taps)
     if isinstance(x, ComplexArray):
-        return ComplexArray(fir_filter(x.real, taps, method),
-                            fir_filter(x.imag, taps, method))
+        return ComplexArray(fir_filter(x.real, taps, method, precision),
+                            fir_filter(x.imag, taps, method, precision))
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
-        return ComplexArray(fir_filter(x.real, taps, method),
-                            fir_filter(x.imag, taps, method))
+        return ComplexArray(fir_filter(x.real, taps, method, precision),
+                            fir_filter(x.imag, taps, method, precision))
     k = taps.shape[0]
     if method == "auto":
         method = "overlap_save" if k >= 64 and x.shape[-1] >= 4 * k else "direct"
     if method == "direct":
         return _conv_causal(x, taps)
     if method == "overlap_save":
-        return overlap_save_filter(x, taps)
+        return overlap_save_filter(x, taps, precision=precision)
     raise ValueError(f"unknown FIR method: {method}")
 
 
 def overlap_save_filter(x: Array, taps: Array,
-                        block: Optional[int] = None) -> Array:
+                        block: Optional[int] = None,
+                        precision: str = "highest") -> Array:
     """Causal FIR via overlap-save FFT blocks (lfilter-equivalent).
 
     Each length-N block consumes N - (K-1) fresh samples and carries the
@@ -113,9 +118,10 @@ def overlap_save_filter(x: Array, taps: Array,
         # zero-transpose pipeline: permuted fft -> pointwise (the filter
         # spectrum lives in the same permuted order) -> permuted ifft.
         from .fft_pallas import fft_pallas_permuted, ifft_pallas_from_permuted
-        hspec = fft_pallas_permuted(ComplexArray(h, jnp.zeros_like(h)))
+        hspec = fft_pallas_permuted(ComplexArray(h, jnp.zeros_like(h)),
+                                    precision=precision)
         fspec = fft_pallas_permuted(
-            ComplexArray(frames, jnp.zeros_like(frames)))
+            ComplexArray(frames, jnp.zeros_like(frames)), precision=precision)
     else:
         hspec = _fft(h)
         fspec = _fft(frames)
@@ -123,7 +129,7 @@ def overlap_save_filter(x: Array, taps: Array,
     prod_im = fspec.real * hspec.imag + fspec.imag * hspec.real
     prod = ComplexArray(prod_re, prod_im)
     if use_pallas:
-        y = ifft_pallas_from_permuted(prod, n).real
+        y = ifft_pallas_from_permuted(prod, n, precision=precision).real
     else:
         y = _ifft(prod).real
     # First K-1 samples of each block are circular garbage — drop them.

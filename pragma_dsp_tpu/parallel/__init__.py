@@ -11,7 +11,8 @@ from .dist_fft import (
     permuted_to_natural_host,
 )
 from .mesh import Mesh, NamedSharding, P, data_mesh, make_mesh
-from .multihost import barrier, init_multihost, is_multihost
+from .multihost import (BarrierTimeout, barrier, health_check,
+                        init_multihost, is_multihost)
 from .sharded import (
     sharded_fir_filter,
     sharded_pfb_channelize,
@@ -31,7 +32,9 @@ __all__ = [
     "sharded_fir_filter",
     "sharded_pfb_channelize",
     "sharded_spectrogram",
+    "BarrierTimeout",
     "barrier",
+    "health_check",
     "init_multihost",
     "is_multihost",
 ]

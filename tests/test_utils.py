@@ -69,6 +69,20 @@ def test_barrier_on_local_mesh():
     barrier()  # 8 virtual devices; must not raise
 
 
+def test_barrier_watchdog_and_health_check():
+    """Failure-detection surface (SURVEY.md §5): the watchdogged barrier
+    completes well inside its window on a healthy mesh, and health_check
+    reports the full local topology without any collective."""
+    from pragma_dsp_tpu.parallel import health_check
+
+    barrier(timeout_s=120.0)
+    hc = health_check()
+    assert hc["process_count"] == 1
+    assert hc["local_devices"] == hc["global_devices"] == len(jax.devices())
+    assert len(hc["devices"]) == hc["local_devices"]
+    assert all("hbm_in_use" in d for d in hc["devices"])
+
+
 def test_checksum_deterministic_and_sensitive():
     a = np.arange(100.0)
     assert checksum(a) == checksum(a.copy())
