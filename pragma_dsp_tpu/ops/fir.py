@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.complex import Array, ComplexArray, as_complex_array, next_power_of_two
-from .dispatch import fft as _fft, ifft as _ifft
+from .dispatch import fft as _fft, get_fft_impl, ifft as _ifft
 
 __all__ = ["fir_filter", "FirState", "fir_stream_init", "fir_step",
            "overlap_save_filter"]
@@ -113,7 +113,13 @@ def overlap_save_filter(x: Array, taps: Array,
     frames = jnp.concatenate([rows, nxt], axis=-1)   # [..., n_blocks, n]
 
     h = jnp.zeros((n,), dtype=x.dtype).at[:k].set(taps)
-    use_pallas = jax.default_backend() == "tpu" and n > 128
+    # Respect the global impl override (set_fft_impl) so the pallas
+    # pipeline — incl. its bf16x3 mode — is exercisable off-TPU in
+    # interpret mode; default policy mirrors ops/dispatch._resolve.
+    impl = get_fft_impl()
+    use_pallas = n > 128 and (
+        impl == "pallas"
+        or (impl == "auto" and jax.default_backend() == "tpu"))
     if use_pallas:
         # zero-transpose pipeline: permuted fft -> pointwise (the filter
         # spectrum lives in the same permuted order) -> permuted ifft.

@@ -97,3 +97,22 @@ def test_rejects_misaligned_length():
 
     with pytest.raises(ValueError):
         pfb_channelize(_ca(np.ones(100) + 0j), 16)
+
+
+def test_channelizer_bf16x3_parity():
+    """bf16x3 analysis-DFT mode keeps >=95 dB SNR vs the numpy golden at
+    C=256 (channelizer.py precision plumbing; pallas impl forced so the
+    kernel path runs in interpret mode off-TPU)."""
+    from pragma_dsp_tpu.ops import set_fft_impl
+
+    c = 256
+    x = (RNG.standard_normal(c * 16) + 1j * RNG.standard_normal(c * 16))
+    h = pfb_taps(c, 8)
+    ref = numpy_pfb(x, h, c)
+    set_fft_impl("pallas")
+    try:
+        got = pfb_channelize(_ca(x), c, h, precision="bf16x3")
+    finally:
+        set_fft_impl("auto")
+    assert_snr(ref.real, np.asarray(got.real), 95, "pfb bf16x3 re")
+    assert_snr(ref.imag, np.asarray(got.imag), 95, "pfb bf16x3 im")
