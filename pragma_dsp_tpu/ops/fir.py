@@ -89,57 +89,60 @@ def overlap_save_filter(x: Array, taps: Array,
     length = x.shape[-1]
     n = block if block is not None else max(256, next_power_of_two(8 * k))
     if n < 2 * (k - 1):
-        # The row-shifted framing below carries the K-1 overlap in a
-        # single hop-sized row, which requires hop = n-(k-1) >= k-1.
+        # The row-shifted framing below carries the overlap in a single
+        # hop-sized row, which requires hop = n - overlap >= overlap.
         raise ValueError(
             f"overlap-save block {n} must be >= 2*(len(taps)-1) = {2 * (k - 1)}")
-    hop = n - (k - 1)
+    # Respect the global impl override (set_fft_impl) so the pallas
+    # pipeline — incl. its bf16x3 mode — is exercisable off-TPU in
+    # interpret mode; default policy mirrors ops/dispatch._resolve.
+    from ..core.complex import is_power_of_two
+    impl = get_fft_impl()
+    use_pallas = n > 128 and is_power_of_two(n) and (
+        impl == "pallas"
+        or (impl == "auto" and jax.default_backend() == "tpu"))
+    # Overlap o >= K-1 samples are dropped per block. On the fused-kernel
+    # path o rounds up to a lane multiple (128) so the per-block valid
+    # region [o, n) is a lane-aligned free slice (the extra o-(K-1)
+    # dropped samples are valid duplicates of the previous block).
+    # pow-2 n > 128 with n >= 2(K-1) guarantees the rounded o <= n/2.
+    o = -(-(k - 1) // 128) * 128 if use_pallas else k - 1
+    hop = n - o
     n_blocks = -(-length // hop)
 
-    # Left-pad with the K-1 zero history + right-pad to whole blocks.
-    pad_left = k - 1
+    # Left-pad with the o-sample zero history + right-pad to whole blocks.
     pad_right = n_blocks * hop - length
-    pad = [(0, 0)] * (x.ndim - 1) + [(pad_left, pad_right)]
+    pad = [(0, 0)] * (x.ndim - 1) + [(o, pad_right)]
     xp = jnp.pad(x, pad)
 
     # Frames of length n starting every hop samples: consecutive frames
-    # share the K-1 overlap. Built from reshape + row-shifted slices (an
-    # index gather here measured ~70x slower on v5e than the FFTs).
+    # share the o-sample overlap. Built from reshape + row-shifted slices
+    # (an index gather here measured ~70x slower on v5e than the FFTs).
     body = xp[..., : n_blocks * hop]
     rows = body.reshape(body.shape[:-1] + (n_blocks, hop))
     nxt = jnp.concatenate(
-        [rows[..., 1:, : k - 1],
+        [rows[..., 1:, :o],
          xp[..., None, n_blocks * hop:]], axis=-2)
     frames = jnp.concatenate([rows, nxt], axis=-1)   # [..., n_blocks, n]
 
     h = jnp.zeros((n,), dtype=x.dtype).at[:k].set(taps)
-    # Respect the global impl override (set_fft_impl) so the pallas
-    # pipeline — incl. its bf16x3 mode — is exercisable off-TPU in
-    # interpret mode; default policy mirrors ops/dispatch._resolve.
-    impl = get_fft_impl()
-    use_pallas = n > 128 and (
-        impl == "pallas"
-        or (impl == "auto" and jax.default_backend() == "tpu"))
     if use_pallas:
-        # zero-transpose pipeline: permuted fft -> pointwise (the filter
-        # spectrum lives in the same permuted order) -> permuted ifft.
-        from .fft_pallas import fft_pallas_permuted, ifft_pallas_from_permuted
+        # One fused kernel: fft -> xH -> ifft entirely in VMEM, with the
+        # filter spectrum held in digit-permuted order (zero transposes,
+        # zero intermediate HBM traffic — ops/conv_pallas.py).
+        from .conv_pallas import circular_convolve_pallas
+        from .fft_pallas import fft_pallas_permuted
         hspec = fft_pallas_permuted(ComplexArray(h, jnp.zeros_like(h)),
                                     precision=precision)
-        fspec = fft_pallas_permuted(
-            ComplexArray(frames, jnp.zeros_like(frames)), precision=precision)
+        y = circular_convolve_pallas(frames, hspec, n, precision=precision)
     else:
         hspec = _fft(h)
         fspec = _fft(frames)
-    prod_re = fspec.real * hspec.real - fspec.imag * hspec.imag
-    prod_im = fspec.real * hspec.imag + fspec.imag * hspec.real
-    prod = ComplexArray(prod_re, prod_im)
-    if use_pallas:
-        y = ifft_pallas_from_permuted(prod, n, precision=precision).real
-    else:
-        y = _ifft(prod).real
-    # First K-1 samples of each block are circular garbage — drop them.
-    y = y[..., k - 1:]
+        prod_re = fspec.real * hspec.real - fspec.imag * hspec.imag
+        prod_im = fspec.real * hspec.imag + fspec.imag * hspec.real
+        y = _ifft(ComplexArray(prod_re, prod_im)).real
+    # First o samples of each block are circular garbage (or duplicates).
+    y = y[..., o:]
     y = y.reshape(y.shape[:-2] + (n_blocks * hop,))
     return y[..., :length]
 
