@@ -4,11 +4,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
 
-vs_baseline is the fraction of the per-chip HBM roofline (the reference
-publishes no numbers — PLAN.md:12 "not meant to be fast" — so the
-speed-of-light bound from BASELINE.json's >=80%-of-roofline target is
-the denominator): SOL = HBM_BW / 8 bytes/sample (4B f32 sample in, 4B
-amplitude out).
+vs_baseline is the measured HBM-bytes/time fraction of the per-chip
+peak bandwidth (the reference publishes no numbers — PLAN.md:12 "not
+meant to be fast" — so BASELINE.json's >=80%-of-roofline north star is
+the denominator). Bytes are what the kernel actually moves: batch*n*4
+f32 samples in + batch*(n//2+1)*4 one-sided amplitudes out (~6.005
+B/sample), NOT the round-2 8 B/sample assumption (round-2 VERDICT
+weak #1-2: report measured bytes over peak, nothing flattering).
 
 Timing discipline: the remote-TPU dispatch round trip is ~27 ms, so the
 measured step is a lax.fori_loop chain of K pipeline iterations inside
@@ -122,12 +124,36 @@ def main() -> int:
     if snr < 105.0:
         failures.append(f"SNR {snr:.1f} dB < 105 dB")
 
-    sol_msps = specs["hbm_bytes_per_s"] / 8.0 / 1e6
+    # FFT roundtrip guardrail on the production (bf16x3, donated) path:
+    # ifft(fft(x)) must stay >= 105 dB vs the input (VERDICT r2 #1 gate).
+    from pragma_dsp_tpu.core.complex import ComplexArray
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        fft_pallas_permuted, ifft_pallas_from_permuted)
+    sub_re = x[:64]
+    sub_im = jnp.asarray(
+        rng.standard_normal(sub_re.shape), dtype=jnp.float32)
+    p = fft_pallas_permuted(ComplexArray(sub_re, sub_im), interpret=interp,
+                            precision="bf16x3")
+    back = ifft_pallas_from_permuted(p, n, interpret=interp,
+                                     precision="bf16x3")
+    num = (np.asarray(sub_re, np.float64) ** 2
+           + np.asarray(sub_im, np.float64) ** 2).sum()
+    den = ((np.asarray(back.real, np.float64) - np.asarray(sub_re, np.float64)) ** 2
+           + (np.asarray(back.imag, np.float64) - np.asarray(sub_im, np.float64)) ** 2).sum()
+    rt_snr = 10 * np.log10(num / max(den, 1e-300))
+    log(f"fft+ifft roundtrip SNR (bf16x3): {rt_snr:.1f} dB")
+    if rt_snr < 105.0:
+        failures.append(f"roundtrip SNR {rt_snr:.1f} dB < 105 dB")
+
+    bytes_per_iter = batch * n * 4 + batch * (n // 2 + 1) * 4
+    measured_bw = bytes_per_iter / per_iter
+    log(f"measured HBM rate: {measured_bw/1e9:.0f} GB/s of "
+        f"{specs['hbm_bytes_per_s']/1e9:.0f} GB/s peak")
     result = {
         "metric": "fused 1024-pt Hann spectrum throughput (1 chip)",
         "value": round(msps, 1),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / sol_msps, 4),
+        "vs_baseline": round(measured_bw / specs["hbm_bytes_per_s"], 4),
         "ok": not failures,
     }
     log(f"per-iter {per_iter*1e3:.3f} ms over batch {batch}x{n}")

@@ -1,28 +1,54 @@
 #!/usr/bin/env python3
-"""TPU kernel benches with RTT-amortized in-jit loop timing: Pallas FFT
-(permuted / natural / roundtrip), fused spectrum, FIR, resampler,
-channelizer, FM chain. The per-dispatch tunnel RTT (~27 ms here) is
-measured and subtracted; each number is a chained lax.fori_loop of the
-kernel, so it reflects pure device time."""
+"""TPU kernel benches with RTT-amortized in-jit loop timing and per-row
+roofline accounting. Writes the machine-generated kernel table into
+BASELINE.md between the KERNEL-TABLE markers with --write-baseline
+(round-2 VERDICT next-step #2: no hand-maintained numbers).
+
+Timing discipline: the per-dispatch tunnel RTT (~25 ms here) is measured
+and subtracted; each number is a chained lax.fori_loop of the kernel.
+Same-shape kernels chain through donated buffers (input_output_aliases),
+the production streaming contract — without donation an XLA while loop
+whose carry is a kernel output pays a hidden full-array copy per step
+(read+write ~ the kernel's own HBM traffic), which inflated every
+round-2 kernel number by ~0.3 ms. Shape-changing ops chain through a
+one-element probe folded back with dynamic_update_slice.
+
+Every row carries an analytic HBM-bytes/sample and MXU-flops/sample
+model (documented inline) so the report prints hbm%/mxu% fractions
+against the device peaks.
+"""
 
 from __future__ import annotations
 
+import argparse
+import os
+import re
+import sys
 import time
 
 import numpy as np
 
-from helpers import parse_args, verified
+import helpers  # noqa: F401  (inserts repo root into sys.path)
+
+_MARK_BEGIN = "<!-- KERNEL-TABLE BEGIN (machine-written by bench/kernels.py) -->"
+_MARK_END = "<!-- KERNEL-TABLE END -->"
 
 
 def main():
-    args = parse_args()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write-baseline", action="store_true",
+                    help="rewrite the kernel table section in BASELINE.md")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from pragma_dsp_tpu.core.complex import ComplexArray
-    from pragma_dsp_tpu.ops.fft_pallas import (_fft_pallas_2d,
-                                                spectrum_amplitude_pallas)
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        _fft_pallas_2d, fft_pallas_permuted, spectrum_amplitude_pallas,
+        spectrum_amp_phase_pallas)
+    from pragma_dsp_tpu.ops.conv_pallas import circular_convolve_pallas
     from pragma_dsp_tpu.ops.fft_fourstep import fft_fourstep
     from pragma_dsp_tpu.ops.fir import fir_filter
     from pragma_dsp_tpu.ops.polyphase import resample_poly
@@ -36,8 +62,11 @@ def main():
     S = B * N
     K = 40 if big else 2
     rng = np.random.default_rng(0)
-    re = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
-    im = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    re_ = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    im_ = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+
+    specs = device_specs()
+    rows = []
 
     def timed(step, argtuple, k):
         @jax.jit
@@ -54,24 +83,54 @@ def main():
         return best
 
     rtt = timed(lambda v: (v * 1.000001,), (jnp.ones((8, 128)),), 400)
-    print(f"dispatch RTT: {rtt*1e3:.1f} ms")
+    print(f"dispatch RTT: {rtt*1e3:.1f} ms", flush=True)
 
-    def report(name, total, k, samples):
+    def report(name, total, k, samples, bytes_per_sample=None,
+               flops_per_sample=None, flop_kind="bf16", note=""):
         per = max((total - rtt) / k, 1e-9)
-        print(f"{name:32s} {per*1e3:8.3f} ms/iter  "
-              f"{samples/per/1e6:9.0f} MS/s")
+        msps = samples / per / 1e6
+        hbm_pct = mxu_pct = None
+        if bytes_per_sample is not None:
+            hbm_pct = 100 * samples * bytes_per_sample / per \
+                / specs["hbm_bytes_per_s"]
+        if flops_per_sample is not None:
+            peak = specs["bf16_flops"] if flop_kind == "bf16" \
+                else specs["f32_flops"]
+            mxu_pct = 100 * samples * flops_per_sample / per / peak
+        line = f"{name:36s} {per*1e3:8.3f} ms/iter  {msps:9.0f} MS/s"
+        if hbm_pct is not None:
+            line += f"  hbm {hbm_pct:5.1f}%"
+        if mxu_pct is not None:
+            line += f"  mxu {mxu_pct:5.1f}%"
+        print(line, flush=True)
+        rows.append(dict(name=name, per_ms=per * 1e3, msps=msps,
+                         hbm_pct=hbm_pct, mxu_pct=mxu_pct, note=note))
 
-    for prec in ("highest", "bf16x3"):
-        t = timed(lambda r, i: _fft_pallas_2d(r, i, N, False, interp, prec),
-                  (re, im), K)
-        report(f"pallas fft permuted 1024 {prec}", t, K, S)
+    # MXU-flops/sample models (N=1024, N2=8, lane dots (tb,256)@(256,256)):
+    #   complex FFT kernel: n2 * 2*256*256 / n      = 1024 f32-flop/sample
+    #   bf16x3 runs 3 bf16 passes, HIGHEST 6        (x3 / x6 below)
+    #   one-sided spectrum: ~n2 * 2*(2*128*128)/n   = 512 (amp dots, 2/row)
+    #     + corner turn 4 chunks * 2*128*128/n*...  ~= 128  -> ~640/sample
+    #   fused conv: two lane-dot sets               = 2048 f32-flop/sample
+    fft_flops = 1024.0
 
-        def rt(r, i):
-            pr, pi = _fft_pallas_2d(r, i, N, False, interp, prec)
-            return _fft_pallas_2d(pr, pi, N, True, interp, prec)
-        t = timed(rt, (re, im), max(K // 2, 1))
-        report(f"pallas fft+ifft permuted {prec}", t, max(K // 2, 1), S)
+    # ── Pallas FFT, donated chains (same-shape: carry the output) ──
+    for prec, passes in (("bf16x3", 3), ("highest", 6)):
+        t = timed(lambda r, i, _p=prec: _fft_pallas_2d(
+            r, i, N, False, interp, _p, donate=True), (re_, im_), K)
+        report(f"pallas fft permuted 1024 {prec}", t, K, S,
+               bytes_per_sample=16, flops_per_sample=fft_flops * passes,
+               note="complex in+out, donated chain")
 
+        def rt(r, i, _p=prec):
+            pr, pi = _fft_pallas_2d(r, i, N, False, interp, _p, donate=True)
+            return _fft_pallas_2d(pr, pi, N, True, interp, _p, donate=True)
+        t = timed(rt, (re_, im_), max(K // 2, 1))
+        report(f"pallas fft+ifft roundtrip {prec}", t, max(K // 2, 1), S,
+               bytes_per_sample=32, flops_per_sample=2 * fft_flops * passes,
+               note="two kernels per iter")
+
+    # ── fused one-sided spectrum (input is the carry; output small) ──
     def spec_step(prec):
         def step(v):
             amp = spectrum_amplitude_pallas(v, N, "hann", "one", interp,
@@ -79,32 +138,52 @@ def main():
             probe = v[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, v.dtype)
             return (lax.dynamic_update_slice(v, probe, (0, 0)),)
         return step
-    t = timed(spec_step("highest"), (re,), K)
-    report("pallas fused spectrum f32", t, K, S)
-    t = timed(spec_step("bf16x3"), (re,), K)
-    report("pallas fused spectrum bf16x3", t, K, S)
+    spec_bytes = 4 + 4 * (N // 2 + 1) / N          # f32 in + one-sided out
+    t = timed(spec_step("bf16x3"), (re_,), K)
+    report("fused spectrum bf16x3", t, K, S, bytes_per_sample=spec_bytes,
+           flops_per_sample=640 * 3, note="headline")
+    t = timed(spec_step("highest"), (re_,), K)
+    report("fused spectrum f32", t, K, S, bytes_per_sample=spec_bytes,
+           flops_per_sample=640 * 6)
 
-    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amp_phase_pallas
+    def amp_phase_step(prec):
+        def step(v):
+            amp, ph = spectrum_amp_phase_pallas(v, N, "hann", interp,
+                                                precision=prec)
+            probe = (v[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, v.dtype)
+                     + ph[:1, :1] * jnp.asarray(1e-30, v.dtype))
+            return (lax.dynamic_update_slice(v, probe, (0, 0)),)
+        return step
+    ap_bytes = 4 + 8 * (N // 2 + 1) / N            # in + amp + phase
+    t = timed(amp_phase_step("bf16x3"), (re_,), K)
+    report("fused amp+phase bf16x3", t, K, S, bytes_per_sample=ap_bytes,
+           flops_per_sample=768 * 3, note="beginner rung")
+    t = timed(amp_phase_step("highest"), (re_,), K)
+    report("fused amp+phase f32", t, K, S, bytes_per_sample=ap_bytes,
+           flops_per_sample=768 * 6)
 
-    def amp_phase_step(v):
-        amp, ph = spectrum_amp_phase_pallas(v, N, "hann", interp)
-        probe = (v[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, v.dtype)
-                 + ph[:1, :1] * jnp.asarray(1e-30, v.dtype))
-        return (lax.dynamic_update_slice(v, probe, (0, 0)),)
-    t = timed(amp_phase_step, (re,), K)
-    report("pallas fused amp+phase f32", t, K, S)
+    # ── fused circular convolution (real frames -> real frames) ──
+    h = np.zeros(N, np.float32)
+    h[:127] = np.hamming(127) / np.hamming(127).sum()
+    hspec = fft_pallas_permuted(
+        ComplexArray(jnp.asarray(h), jnp.zeros(N, jnp.float32)),
+        interpret=interp, precision="highest")
+    for prec, passes in (("bf16x3", 3), ("highest", 6)):
+        t = timed(lambda f, _p=prec: (circular_convolve_pallas(
+            f, hspec, N, interpret=interp, precision=_p, donate=True),),
+            (re_,), K)
+        report(f"fused circular conv {prec}", t, K, S,
+               bytes_per_sample=8, flops_per_sample=2048 * passes,
+               note="real in+out, donated chain")
 
     def fs(r, i):
         o = fft_fourstep(ComplexArray(r, i))
         return o.real, o.imag
-    t = timed(fs, (re, im), K)
-    report("jnp fourstep fft 1024", t, K, S)
+    t = timed(fs, (re_, im_), K)
+    report("jnp fourstep fft 1024", t, K, S, bytes_per_sample=16,
+           note="XLA path, includes carry copy")
 
-    # Shape-changing ops (resampler, channelizer, FIR) chain through a
-    # one-element probe folded back with dynamic_update_slice, so the
-    # loop body cannot be hoisted. (A strided sum over every output leaf
-    # here previously cost more than the op under test: the PFB measured
-    # 7.6 ms with it vs 0.4 ms real.)
+    # ── shape-changing pipelines: probe-chained ──
     def chained(op):
         def step(v, acc):
             out = op(v)
@@ -115,28 +194,70 @@ def main():
 
     taps = jnp.asarray(np.hamming(127) / np.hamming(127).sum(),
                        dtype=jnp.float32)
-    sig = re.reshape(-1)[: 1 << 22] if big else re.reshape(-1)
+    sig = re_.reshape(-1)[: 1 << 22] if big else re_.reshape(-1)
     acc0 = jnp.zeros((), jnp.float32)
     k4 = max(K // 4, 1)
+    # FIR overlap-save end-to-end traffic model (n=1024, o=128, hop=896):
+    #   read x (4) + write frames (4*n/hop) + conv kernel in+out
+    #   (8*n/hop) + read valid + write y (~8) ~= 4 + 12*1024/896 + 8
+    fir_bytes = 4 + 12 * 1024 / 896 + 8
     t = timed(chained(lambda v: fir_filter(v, taps, "overlap_save")),
               (sig, acc0), k4)
     report(f"overlap-save FIR127 {sig.shape[0]/1e6:.1f}M", t, k4,
-           sig.shape[0])
+           sig.shape[0], bytes_per_sample=fir_bytes,
+           note="end-to-end incl. framing")
 
     k8 = max(K // 8, 1)
+    # resampler: upfirdn banded matmul; traffic ~ in 4 + out 4*(147/160)
+    #   + polyphase frame materialisation (~2 passes over input)
     t = timed(chained(lambda v: resample_poly(v, 147, 160, num_taps=1177)),
               (sig, acc0), k8)
-    report("resample 48k->44.1k", t, k8, sig.shape[0])
+    report("resample 48k->44.1k", t, k8, sig.shape[0],
+           bytes_per_sample=4 + 4 * 147 / 160 + 8,
+           note="upfirdn banded matmul")
 
     c = 256
     iq_len = (sig.shape[0] // c) * c
     iq_sig = sig[:iq_len]
+    # PFB: complex in (8) + complex out (8) + branch-filter frames (~2x in)
     t = timed(chained(lambda v: pfb_channelize(ComplexArray(v, v * 0.5), c)),
               (iq_sig, acc0), k8)
-    report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k8, iq_len)
+    report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k8, iq_len,
+           bytes_per_sample=8 + 8 + 16, note="complex IQ, 8 taps/branch")
 
-    specs = device_specs()
-    print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} GB/s")
+    print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} "
+          f"GB/s  f32 {specs['f32_flops']/1e12:.0f} TF/s  "
+          f"bf16 {specs['bf16_flops']/1e12:.0f} TF/s", flush=True)
+
+    if args.write_baseline and big:
+        lines = [
+            _MARK_BEGIN,
+            "",
+            f"Measured on `{specs['kind']}` (1 chip, remote tunnel; "
+            f"RTT {rtt*1e3:.1f} ms subtracted; batch {B}x{N} f32 unless "
+            "noted; chained in-jit loops, same-shape kernels donated).",
+            "",
+            "| Kernel | Time/iter | Throughput | HBM % | MXU % | Notes |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            hbm = f"{r['hbm_pct']:.0f}%" if r["hbm_pct"] is not None else "—"
+            mxu = f"{r['mxu_pct']:.0f}%" if r["mxu_pct"] is not None else "—"
+            lines.append(
+                f"| {r['name']} | {r['per_ms']:.3f} ms | "
+                f"{r['msps']:,.0f} MS/s | {hbm} | {mxu} | {r['note']} |")
+        lines += ["", _MARK_END]
+        table = "\n".join(lines)
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BASELINE.md")
+        text = open(path).read()
+        pat = re.escape(_MARK_BEGIN) + r".*?" + re.escape(_MARK_END)
+        if re.search(pat, text, flags=re.S):
+            text = re.sub(pat, table, text, flags=re.S)
+        else:
+            text = text.rstrip() + "\n\n" + table + "\n"
+        open(path, "w").write(text)
+        print(f"wrote kernel table into {path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,9 @@ from .demod import (
     fm_stream_init,
     iir_one_pole,
 )
-from .dispatch import fft, get_fft_impl, ifft, set_fft_impl
+from .conv_pallas import circular_convolve_pallas
+from .dispatch import (fft, get_fft_impl, get_fft_precision, ifft,
+                       set_fft_impl, set_fft_precision)
 from .fft_fourstep import fft_fourstep, ifft_fourstep
 from .fft_pallas import (
     fft_pallas,
@@ -45,6 +47,9 @@ __all__ = [
     "ifft",
     "set_fft_impl",
     "get_fft_impl",
+    "set_fft_precision",
+    "get_fft_precision",
+    "circular_convolve_pallas",
     "fft_fourstep",
     "rfft",
     "irfft",

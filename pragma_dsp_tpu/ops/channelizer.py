@@ -85,7 +85,7 @@ def _branch_filter(x: ComplexArray, h: np.ndarray, channels: int
 
 def pfb_channelize(x, channels: int, taps=None,
                    taps_per_branch: int = 8,
-                   precision: str = "highest") -> ComplexArray:
+                   precision: Optional[str] = None) -> ComplexArray:
     """Channelize IQ [..., L] (L multiple of C) into [..., M, C] complex
     channel samples, M = L // C; channel c is centred at +c/C of the
     input sample rate and runs at rate fs/C.

@@ -8,22 +8,28 @@ pointwise multiply, inverse FFT kernel. This kernel keeps the whole
 pipeline in VMEM:
 
 * real frames (tb, n) stream in; the zero imaginary plane never exists;
-* forward: windowless plane DFT_N2 (exactly-zero imag planes of the
-  real input are specialised away) -> per-row four-step twiddle ->
-  shared-FF lane DFT on the MXU (rows with a zero imag plane use the
-  top half of FF only);
+* forward/inverse row pipelines are the SHARED helpers from
+  fft_pallas.py (_fwd_rows / _inv_planes / _mk_mm — one dataflow, no
+  drift between the FFT and conv kernels);
 * the filter spectrum H lives in VMEM as an (n2, 128) digit-permuted
   row table — the same permuted order the rows are produced in, so the
   pointwise complex multiply is two VPU FMAs per row, no reordering;
-* inverse: shared-GG lane dot (1/N folded) -> inverse twiddle -> plane
-  DFT back to natural time order. Only the real part is stored; Mosaic
-  dead-code-eliminates the imaginary chain of the final plane DFT.
+* **frame pairing** (the default for batch >= 2): two real frames a, b
+  convolve as ONE complex signal z = a + ib — h is real, so
+  ifft(fft(z) * H) = conv(a, h) + i conv(b, h) exactly. The pair is the
+  first/second HALF of the batch (free slices, natural order preserved
+  on concat), so one complex FFT pipeline serves two frames: half the
+  MXU work per sample vs the real kernel (which was MXU-bound at ~88%
+  on v5e at bf16x3);
 * the caller drops a lane-aligned multiple of 128 garbage samples per
   block (overlap-save discard), so the valid region is a free slice.
 
-precision="bf16x3" runs both lane dots as three DEFAULT bf16 passes on
-hi/lo-split operands (~105 dB SNR); "highest" uses f32 HIGHEST dots
-(~140 dB). Non-TPU backends run in interpreter mode automatically.
+precision="bf16x3" (the TPU default via the dispatch policy) runs the
+lane dots as three DEFAULT bf16 passes on hi/lo-split operands (~105 dB
+SNR); "highest" uses f32 HIGHEST dots (~140 dB). donate=True aliases
+the frame buffers to the outputs (input_output_aliases) — the streaming
+contract that avoids XLA's hidden carry copy in loops. Non-TPU backends
+run in interpreter mode automatically.
 """
 
 from __future__ import annotations
@@ -39,98 +45,83 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.complex import Array, is_power_of_two
 from .fft_pallas import (
     LANES,
-    _bsplit,
     _const_spec,
-    _df_dot,
     _fft_plan,
-    _hi_dot,
+    _fwd_rows,
+    _inv_planes,
+    _mk_mm,
     _pad_batch,
-    _padd,
     _pick_tile,
-    _plane_dft,
-    _pmul,
-    _psub,
     _tuning,
     _use_interpret,
+    resolve_precision,
 )
 
 __all__ = ["circular_convolve_pallas"]
 
 
+def _unpack_consts(refs, fast):
+    """(mmf, twc, tws, mmi, itwc, itws) from the fwd+inv plan consts."""
+    if fast:
+        mmf = _mk_mm(True, refs[0], refs[1])
+        twc_ref, tws_ref = refs[2], refs[3]
+        mmi = _mk_mm(True, refs[4], refs[5])
+        itwc_ref, itws_ref = refs[6], refs[7]
+    else:
+        mmf = _mk_mm(False, refs[0])
+        twc_ref, tws_ref = refs[1], refs[2]
+        mmi = _mk_mm(False, refs[3])
+        itwc_ref, itws_ref = refs[4], refs[5]
+    return mmf, twc_ref, tws_ref, mmi, itwc_ref, itws_ref
+
+
 def _osconv_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
     """(tb, n) real frames -> (tb, n) real circular convolution with H."""
     o_ref = refs[-1]
-    if fast:
-        ffh_ref, ffl_ref, twc_ref, tws_ref = refs[0:4]
-        ggh_ref, ggl_ref, itwc_ref, itws_ref = refs[4:8]
-
-        def mk_mm(h_ref, l_ref):
-            def mm(cat, rows=None):
-                hi, lo = _bsplit(cat)
-                mh = h_ref[:] if rows is None else h_ref[:rows]
-                ml = l_ref[:] if rows is None else l_ref[:rows]
-                return _df_dot(hi, mh) + (_df_dot(hi, ml) + _df_dot(lo, mh))
-            return mm
-
-        mmf = mk_mm(ffh_ref, ffl_ref)
-        mmi = mk_mm(ggh_ref, ggl_ref)
-    else:
-        ff_ref, twc_ref, tws_ref = refs[0:3]
-        gg_ref, itwc_ref, itws_ref = refs[3:6]
-
-        def mk_mm(m_ref):
-            def mm(cat, rows=None):
-                m = m_ref[:] if rows is None else m_ref[:rows]
-                return _hi_dot(cat, m)
-            return mm
-
-        mmf = mk_mm(ff_ref)
-        mmi = mk_mm(gg_ref)
-
+    mmf, twc_ref, tws_ref, mmi, itwc_ref, itws_ref = _unpack_consts(
+        refs[:-1], fast)
     L = LANES
     xs = [f_ref[:, L * s:L * (s + 1)].astype(jnp.float32) for s in range(n2)]
-    ar, ai = _plane_dft(xs, [None] * n2, -1.0)
-
-    br, bi = [], []
-    for u in range(n2):
-        if u == 0:
-            tr, ti = ar[0], ai[0]
-        else:
-            c = twc_ref[u:u + 1, :]
-            s = tws_ref[u:u + 1, :]
-            tr = _psub(_pmul(ar[u], c), _pmul(ai[u], s))
-            ti = _padd(_pmul(ar[u], s), _pmul(ai[u], c))
-        if ti is None:
-            y = mmf(tr, rows=L)          # real row: top half of FF
-        else:
-            y = mmf(jnp.concatenate([tr, ti], axis=1))
-        zre, zim = y[:, :L], y[:, L:]
-        # pointwise multiply by the permuted-order filter spectrum row
+    rows = []
+    for u, zre, zim in _fwd_rows(xs, [None] * n2, mmf, twc_ref, tws_ref, n2):
         hr = hr_ref[u:u + 1, :]
         hi_ = hi_ref[u:u + 1, :]
-        pre = zre * hr - zim * hi_
-        pim = zre * hi_ + zim * hr
-        # inverse lane dot (1/N folded into GG), then inverse twiddle
-        w = mmi(jnp.concatenate([pre, pim], axis=1))
-        wre, wim = w[:, :L], w[:, L:]
-        if u == 0:
-            br.append(wre)
-            bi.append(wim)
-        else:
-            c = itwc_ref[u:u + 1, :]
-            s = itws_ref[u:u + 1, :]
-            br.append(wre * c - wim * s)
-            bi.append(wre * s + wim * c)
-    xr, _ = _plane_dft(br, bi, 1.0)      # imag chain of this stage DCEs
+        rows.append((u, zre * hr - zim * hi_, zre * hi_ + zim * hr))
+    xr, _ = _inv_planes(rows, mmi, itwc_ref, itws_ref, n2)
     odt = o_ref.dtype
     for s_ in range(n2):
         o_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
 
 
+def _osconv_pair_kernel(fa_ref, fb_ref, hr_ref, hi_ref, *refs, n, n2, fast):
+    """Two real frame sets convolved at once as z = a + ib (h real):
+    ifft(fft(z) * H) = conv(a, h) + i conv(b, h). One complex pipeline,
+    two frames — half the MXU work per sample of the real kernel."""
+    oa_ref, ob_ref = refs[-2], refs[-1]
+    mmf, twc_ref, tws_ref, mmi, itwc_ref, itws_ref = _unpack_consts(
+        refs[:-2], fast)
+    L = LANES
+    xs_r = [fa_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
+            for s in range(n2)]
+    xs_i = [fb_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
+            for s in range(n2)]
+    rows = []
+    for u, zre, zim in _fwd_rows(xs_r, xs_i, mmf, twc_ref, tws_ref, n2):
+        hr = hr_ref[u:u + 1, :]
+        hi_ = hi_ref[u:u + 1, :]
+        rows.append((u, zre * hr - zim * hi_, zre * hi_ + zim * hr))
+    xr, xi = _inv_planes(rows, mmi, itwc_ref, itws_ref, n2)
+    odt = oa_ref.dtype
+    for s_ in range(n2):
+        oa_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
+        ob_ref[:, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("n", "interpret", "precision"))
+                   static_argnames=("n", "interpret", "precision", "donate"))
 def _osconv_2d(frames: Array, hre: Array, him: Array, n: int,
-               interpret: bool, precision: str) -> Array:
+               interpret: bool, precision: str,
+               donate: bool = False) -> Array:
     batch = frames.shape[0]
     tb = _pick_tile(batch, n)            # 2 lane-dot planes in flight
     (frames,), padded = _pad_batch((frames,), batch, tb)
@@ -145,6 +136,8 @@ def _osconv_2d(frames: Array, hre: Array, him: Array, n: int,
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
+    if donate:
+        kw["input_output_aliases"] = {0: 0}
     out = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
@@ -158,14 +151,55 @@ def _osconv_2d(frames: Array, hre: Array, him: Array, n: int,
     return out[:batch]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n", "interpret", "precision", "donate"))
+def _osconv_pair_2d(fa: Array, fb: Array, hre: Array, him: Array, n: int,
+                    interpret: bool, precision: str,
+                    donate: bool = False) -> Tuple[Array, Array]:
+    batch = fa.shape[0]
+    tb = _pick_tile(batch, n)
+    (fa, fb), padded = _pad_batch((fa, fb), batch, tb)
+    fwd = [jnp.asarray(c) for c in _fft_plan(n, False, precision)]
+    inv = [jnp.asarray(c) for c in _fft_plan(n, True, precision)]
+    consts = fwd + inv
+    n2 = n // LANES
+    kernel = functools.partial(_osconv_pair_kernel, n=n, n2=n2,
+                               fast=(precision == "bf16x3"))
+    spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
+    if donate:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
+    out_shape = [jax.ShapeDtypeStruct((padded, n), fa.dtype)] * 2
+    ya, yb = pl.pallas_call(
+        kernel,
+        grid=(padded // tb,),
+        in_specs=[spec, spec, _const_spec(hre), _const_spec(him)]
+        + [_const_spec(c) for c in consts],
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        **kw,
+    )(fa, fb, hre, him, *consts)
+    return ya[:batch], yb[:batch]
+
+
 def circular_convolve_pallas(frames, hspec_permuted, n: int,
                              interpret: Optional[bool] = None,
-                             precision: str = "highest") -> Array:
+                             precision: Optional[str] = None,
+                             donate: bool = False) -> Array:
     """Circular convolution of real frames [batch..., n] with a filter
     given by its digit-permuted spectrum ([n2, 128] ComplexArray from
     :func:`fft_pallas_permuted`), fused in one kernel (numpy convention:
     ifft(fft(x) * H), inverse 1/N folded in).
+
+    Batches >= 2 frames run the complex-pair kernel (first/second batch
+    half as real/imag planes: half the MXU work per sample); a single
+    frame falls back to the real kernel.
     """
+    precision = resolve_precision(precision)
     frames = jnp.asarray(frames)
     if frames.shape[-1] != n:
         raise ValueError(f"frame length {frames.shape[-1]} != n {n}")
@@ -177,7 +211,29 @@ def circular_convolve_pallas(frames, hspec_permuted, n: int,
     interp = _use_interpret() if interpret is None else interpret
     shape = frames.shape
     n2 = n // LANES
+    # Accept ONLY the digit-permuted (n2, 128) spectrum layout (from
+    # fft_pallas_permuted): a natural-order (n,) spectrum would reshape
+    # cleanly and silently convolve with the wrong filter.
+    if tuple(hspec_permuted.real.shape[-2:]) != (n2, LANES):
+        raise ValueError(
+            "hspec_permuted must be the digit-permuted (n//128, 128) "
+            f"spectrum from fft_pallas_permuted; got shape "
+            f"{tuple(hspec_permuted.real.shape)} for n={n}")
     hre = jnp.asarray(hspec_permuted.real, jnp.float32).reshape(n2, LANES)
     him = jnp.asarray(hspec_permuted.imag, jnp.float32).reshape(n2, LANES)
-    out = _osconv_2d(frames.reshape(-1, n), hre, him, n, interp, precision)
+    f2 = frames.reshape(-1, n)
+    b = f2.shape[0]
+    if b >= 2:
+        # Pair first/second batch halves as one complex signal. An odd
+        # batch pads one zero frame (dropped after); halves concat back
+        # in natural order — no interleave, all free slices.
+        be = b + (b % 2)
+        if be != b:
+            f2 = jnp.pad(f2, ((0, 1), (0, 0)))
+        h2 = be // 2
+        ya, yb = _osconv_pair_2d(f2[:h2], f2[h2:], hre, him, n, interp,
+                                 precision, donate)
+        out = jnp.concatenate([ya, yb], axis=0)[:b]
+    else:
+        out = _osconv_2d(f2, hre, him, n, interp, precision, donate)
     return out.reshape(shape)

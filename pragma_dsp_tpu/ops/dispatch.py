@@ -8,12 +8,21 @@ and validated against the same fixtures:
 * ``fourstep`` — jnp MXU formulation (ops/fft_fourstep.py). Fast on TPU,
   several fused XLA kernels.
 * ``pallas``  — single fused kernel (ops/fft_pallas.py). Fastest on TPU
-  (measured ~1.5x over fourstep at N=1024); interpreter mode elsewhere.
+  (~45 GS/s donated at N=1024 on v5e, ~88% of the complex HBM roofline);
+  interpreter mode elsewhere.
 
 Default policy: pallas on TPU for f32/bf16 power-of-two sizes > 128,
 fourstep for smaller TPU transforms (they are a single matmul anyway),
 stockham otherwise. Override globally with :func:`set_fft_impl` or
 per call via ``impl=``.
+
+Precision policy (pallas path only — the other impls are full f32):
+``precision="auto"`` (the default) resolves to **bf16x3** split-dot MXU
+passes on TPU — SNR ~110 dB vs f64, comfortably above the 105 dB
+production gate, at ~half the MXU time of the 6-pass f32 HIGHEST dots —
+and to "highest" everywhere else. Pin "highest" (SNR ~140 dB) per call
+or globally with :func:`set_fft_precision` when bit-level headroom
+matters more than throughput.
 """
 
 from __future__ import annotations
@@ -23,15 +32,19 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.complex import ComplexArray, as_complex_array
+from ..core.complex import ComplexArray, as_complex_array, is_power_of_two
 from ..core.fft import fft as _fft_stockham, ifft as _ifft_stockham
 from .fft_fourstep import fft_fourstep, ifft_fourstep
 from .fft_pallas import fft_pallas, ifft_pallas
 
-__all__ = ["fft", "ifft", "set_fft_impl", "get_fft_impl"]
+__all__ = ["fft", "ifft", "set_fft_impl", "get_fft_impl",
+           "set_fft_precision", "get_fft_precision"]
 
 _IMPLS = ("auto", "stockham", "fourstep", "pallas")
 _impl = "auto"
+
+_PRECISIONS = ("auto", "highest", "bf16x3")
+_precision = "auto"
 
 
 def set_fft_impl(impl: str) -> None:
@@ -46,6 +59,20 @@ def get_fft_impl() -> str:
     return _impl
 
 
+def set_fft_precision(precision: str) -> None:
+    """Globally select the pallas-path precision ('auto' restores policy:
+    bf16x3 on TPU, highest elsewhere)."""
+    global _precision
+    if precision not in _PRECISIONS:
+        raise ValueError(
+            f"unknown fft precision {precision!r}; choose from {_PRECISIONS}")
+    _precision = precision
+
+
+def get_fft_precision() -> str:
+    return _precision
+
+
 def _resolve(xc: ComplexArray, axis: int) -> str:
     if _impl != "auto":
         return _impl
@@ -54,34 +81,39 @@ def _resolve(xc: ComplexArray, axis: int) -> str:
     if xc.real.dtype not in (jnp.float32, jnp.bfloat16):
         return "stockham"
     n = xc.real.shape[axis]
-    if n > 128 and axis in (-1, xc.real.ndim - 1):
+    if (n > 128 and is_power_of_two(n)
+            and axis in (-1, xc.real.ndim - 1)):
         return "pallas"
     return "fourstep"
 
 
 def fft(x, axis: int = -1, impl: Optional[str] = None,
-        precision: str = "highest") -> ComplexArray:
+        precision: Optional[str] = None, donate: bool = False
+        ) -> ComplexArray:
     """Forward FFT (numpy convention, unnormalised) via the best backend path.
 
-    ``precision`` ("highest" | "bf16x3") applies to the pallas path only
-    (the other impls are already full-f32); see ops/fft_pallas.py.
+    ``precision`` (None -> global policy | "auto" | "highest" | "bf16x3")
+    applies to the pallas path only (the other impls are already full-f32);
+    see the module docstring. ``donate`` aliases the input buffers to the
+    output on the pallas path (streaming loops; input must be dead after).
     """
     xc = as_complex_array(x)
     chosen = impl if impl is not None else _resolve(xc, axis)
     if chosen == "pallas":
-        return fft_pallas(xc, axis, precision=precision)
+        return fft_pallas(xc, axis, precision=precision, donate=donate)
     if chosen == "fourstep":
         return fft_fourstep(xc, axis)
     return _fft_stockham(xc, axis)
 
 
 def ifft(x, axis: int = -1, impl: Optional[str] = None,
-         precision: str = "highest") -> ComplexArray:
+         precision: Optional[str] = None, donate: bool = False
+         ) -> ComplexArray:
     """Inverse FFT with 1/N normalisation via the best backend path."""
     xc = as_complex_array(x)
     chosen = impl if impl is not None else _resolve(xc, axis)
     if chosen == "pallas":
-        return ifft_pallas(xc, axis, precision=precision)
+        return ifft_pallas(xc, axis, precision=precision, donate=donate)
     if chosen == "fourstep":
         return ifft_fourstep(xc, axis)
     return _ifft_stockham(xc, axis)

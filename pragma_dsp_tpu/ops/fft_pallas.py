@@ -61,6 +61,7 @@ __all__ = [
     "natural_to_permuted",
     "spectrum_amplitude_pallas",
     "spectrum_amp_phase_pallas",
+    "resolve_precision",
 ]
 
 LANES = 128
@@ -68,6 +69,24 @@ LANES = 128
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def resolve_precision(precision: Optional[str]) -> str:
+    """Resolve a precision argument to a concrete mode.
+
+    None -> the global policy (ops.dispatch.set_fft_precision); "auto"
+    (explicit or via the global) -> bf16x3 on TPU (SNR ~110 dB, ~2x the
+    MXU throughput of the 6-pass f32 HIGHEST dots, above the 105 dB
+    production gate), "highest" elsewhere (CPU interpret runs keep f32
+    parity with the fixtures)."""
+    if precision not in (None, "auto"):
+        return precision
+    if precision is None:
+        from .dispatch import get_fft_precision
+        p = get_fft_precision()
+        if p != "auto":
+            return p
+    return "bf16x3" if jax.default_backend() == "tpu" else "highest"
 
 
 def _hi_dot(a, b):
@@ -95,10 +114,31 @@ def _np_bsplit(m: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
+def _round_bf16_f32(a):
+    """Round an f32 array to the bf16 grid (round-to-nearest-even), with
+    the result kept in f32.
+
+    NOT expressed as astype(bf16).astype(f32): XLA's allow-excess-
+    precision simplifier may fold that down-then-up convert pair into
+    identity (environment-dependent — observed on CPU under plain f32
+    jit), silently zeroing split residuals and turning bf16x3 into
+    bf16x1 (~54 dB). lax.reduce_precision would be the natural op but
+    Mosaic has no TPU lowering for it, so this is the explicit RNE bit
+    manipulation (exact for finite values; our kernel data is finite)."""
+    u = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    odd = (u >> jnp.uint32(16)) & jnp.uint32(1)
+    r = (u + jnp.uint32(0x7FFF) + odd) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(r, jnp.float32)
+
+
 def _bsplit(a):
-    """Runtime hi/lo bf16 split of an f32 operand (bf16x3 dot inputs)."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """Runtime hi/lo bf16 split of an f32 operand (bf16x3 dot inputs).
+    The hi part is rounded on the explicit bf16 grid (_round_bf16_f32)
+    so the residual survives every compiler; the astype(bf16) of an
+    already-rounded value is lossless."""
+    hi_f = _round_bf16_f32(a)
+    hi = hi_f.astype(jnp.bfloat16)
+    lo = (a - hi_f).astype(jnp.bfloat16)
     return hi, lo
 
 
@@ -143,6 +183,70 @@ def _fft_plan(n: int, inverse: bool, precision: str) -> Tuple[np.ndarray, ...]:
 # ── kernel cores ─────────────────────────────────────────────────────
 
 
+def _mk_mm(fast: bool, h_ref, l_ref=None):
+    """Shared lane-dot closure: [T_re | T_im] @ FF in one contraction.
+
+    fast=True runs three DEFAULT bf16 passes on hi/lo-split operands
+    (bf16x3); otherwise one f32 HIGHEST dot. ``rows=LANES`` restricts to
+    the top FF rows (real input: the imaginary half of the concat is
+    exactly zero, so half the dot is skipped). Used by the FFT, fused
+    convolution, and spectrum kernels so the per-row dataflow cannot
+    drift between them (round-2 ADVICE conv_pallas.py:66)."""
+    if fast:
+        def mm(cat, rows=None):
+            hi, lo = _bsplit(cat)
+            mh = h_ref[:] if rows is None else h_ref[:rows]
+            ml = l_ref[:] if rows is None else l_ref[:rows]
+            return _df_dot(hi, mh) + (_df_dot(hi, ml) + _df_dot(lo, mh))
+    else:
+        def mm(cat, rows=None):
+            m = h_ref[:] if rows is None else h_ref[:rows]
+            return _hi_dot(cat, m)
+    return mm
+
+
+def _fwd_rows(xs_r, xs_i, mm, twc_ref, tws_ref, n2):
+    """Forward four-step over lane-tile planes: plane DFT_N2 (sign -1) ->
+    per-row twiddle W_N^{lu} -> shared lane dot. Yields (u, yre, yim) in
+    permuted row order; ``xs_i`` entries may be None (exactly-zero
+    imaginary planes of real input propagate through the plane DFT and
+    rows whose imag plane stays None use only the top half of FF)."""
+    ar, ai = _plane_dft(xs_r, xs_i, -1.0)
+    for u in range(n2):
+        if u == 0:
+            tr, ti = ar[0], ai[0]          # W_N^0 = 1
+        else:
+            c = twc_ref[u:u + 1, :]
+            s = tws_ref[u:u + 1, :]
+            tr = _psub(_pmul(ar[u], c), _pmul(ai[u], s))
+            ti = _padd(_pmul(ar[u], s), _pmul(ai[u], c))
+        if ti is None:
+            y = mm(tr, rows=LANES)
+        else:
+            y = mm(jnp.concatenate([tr, ti], axis=1))
+        yield u, y[:, :LANES], y[:, LANES:]
+
+
+def _inv_planes(rows, mm, itwc_ref, itws_ref, n2):
+    """Inverse four-step from permuted rows [(u, pre, pim), ...]: shared
+    lane dot (1/N folded into GG) -> inverse twiddle W_N^{+lu} -> plane
+    DFT_N2 (sign +1) back to natural time planes. Returns (re, im) plane
+    lists; an unused imaginary chain dead-code-eliminates."""
+    br, bi = [], []
+    for u, pre, pim in rows:
+        w = mm(jnp.concatenate([pre, pim], axis=1))
+        wre, wim = w[:, :LANES], w[:, LANES:]
+        if u == 0:
+            br.append(wre)
+            bi.append(wim)
+        else:
+            c = itwc_ref[u:u + 1, :]
+            s = itws_ref[u:u + 1, :]
+            br.append(wre * c - wim * s)
+            bi.append(wre * s + wim * c)
+    return _plane_dft(br, bi, 1.0)
+
+
 def _fft2d_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast):
     """(TB, N) 2D blocks in and out; see module docstring for dataflow.
 
@@ -153,18 +257,11 @@ def _fft2d_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast):
     plane s stored at lanes [128s, 128s+128) (natural order)."""
     ore_ref, oim_ref = refs[-2], refs[-1]
     if fast:
-        ffh_ref, ffl_ref, twc_ref, tws_ref = refs[:4]
-
-        def mm(cat):
-            hi, lo = _bsplit(cat)
-            ffh = ffh_ref[:]
-            return _df_dot(hi, ffh) + (_df_dot(hi, ffl_ref[:])
-                                       + _df_dot(lo, ffh))
+        h_ref, l_ref, twc_ref, tws_ref = refs[:4]
+        mm = _mk_mm(True, h_ref, l_ref)
     else:
-        ff_ref, twc_ref, tws_ref = refs[:3]
-
-        def mm(cat):
-            return _hi_dot(cat, ff_ref[:])
+        h_ref, twc_ref, tws_ref = refs[:3]
+        mm = _mk_mm(False, h_ref)
 
     odt = ore_ref.dtype
     if n <= LANES:
@@ -181,35 +278,14 @@ def _fft2d_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast):
                 for s in range(n2)]
         xs_i = [im_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
                 for s in range(n2)]
-        ar, ai = _plane_dft(xs_r, xs_i, -1.0)
-        for u in range(n2):
-            if u == 0:
-                tr, ti = ar[0], ai[0]      # W_N^0 = 1
-            else:
-                c = twc_ref[u:u + 1, :]
-                s = tws_ref[u:u + 1, :]
-                tr = ar[u] * c - ai[u] * s
-                ti = ar[u] * s + ai[u] * c
-            y = mm(jnp.concatenate([tr, ti], axis=1))
-            ore_ref[:, L * u:L * (u + 1)] = y[:, :L].astype(odt)
-            oim_ref[:, L * u:L * (u + 1)] = y[:, L:].astype(odt)
+        for u, yre, yim in _fwd_rows(xs_r, xs_i, mm, twc_ref, tws_ref, n2):
+            ore_ref[:, L * u:L * (u + 1)] = yre.astype(odt)
+            oim_ref[:, L * u:L * (u + 1)] = yim.astype(odt)
     else:
-        br, bi = [], []
-        for u in range(n2):
-            cat = jnp.concatenate(
-                [re_ref[:, L * u:L * (u + 1)].astype(jnp.float32),
-                 im_ref[:, L * u:L * (u + 1)].astype(jnp.float32)], axis=1)
-            y = mm(cat)
-            yr, yi = y[:, :L], y[:, L:]
-            if u == 0:
-                br.append(yr)
-                bi.append(yi)
-            else:
-                c = twc_ref[u:u + 1, :]
-                s = tws_ref[u:u + 1, :]
-                br.append(yr * c - yi * s)
-                bi.append(yr * s + yi * c)
-        xr, xi = _plane_dft(br, bi, 1.0)
+        rows = [(u, re_ref[:, L * u:L * (u + 1)].astype(jnp.float32),
+                 im_ref[:, L * u:L * (u + 1)].astype(jnp.float32))
+                for u in range(n2)]
+        xr, xi = _inv_planes(rows, mm, twc_ref, tws_ref, n2)
         for s_ in range(n2):
             ore_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
             oim_ref[:, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
@@ -291,15 +367,24 @@ def _const_spec(arr):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "inverse", "interpret", "precision"))
+                   static_argnames=("n", "inverse", "interpret", "precision",
+                                    "donate"))
 def _fft_pallas_2d(re: Array, im: Array, n: int, inverse: bool,
-                   interpret: bool, precision: str = "highest"
-                   ) -> Tuple[Array, Array]:
+                   interpret: bool, precision: str = "highest",
+                   donate: bool = False) -> Tuple[Array, Array]:
     """Core call: 2D (batch, n) in and out.
 
     forward: natural-in -> permuted-out (row u at lanes [128u, 128u+128)
     holds X[u + N2*v], i.e. the (batch, N2, N1) reshape is the permuted
     P[b, k2, k1] = X[k2 + N2*k1]); inverse: permuted-in -> natural-out.
+
+    donate=True aliases the input HBM buffers to the outputs
+    (input_output_aliases): each grid step fully reads its block into
+    VMEM before its output block is stored back, so in-place is safe.
+    This is the streaming/chained contract — without it, an XLA while
+    loop whose carry is the FFT output pays a hidden full-array copy
+    per step (read+write ~ the kernel's own HBM traffic). XLA inserts
+    a protective copy automatically if the caller's input is still live.
     """
     batch = re.shape[0]
     tb = _pick_tile(batch, n)
@@ -314,6 +399,8 @@ def _fft_pallas_2d(re: Array, im: Array, n: int, inverse: bool,
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
+    if donate:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
     ore, oim = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
@@ -358,14 +445,21 @@ def _flatten_batch(xc: ComplexArray, axis: int):
 
 def fft_pallas_permuted(x, axis: int = -1,
                         interpret: Optional[bool] = None,
-                        precision: str = "highest") -> ComplexArray:
+                        precision: Optional[str] = None,
+                        donate: bool = False) -> ComplexArray:
     """Forward FFT emitting digit-permuted bins: result planes have shape
     [batch..., N2, N1] with P[..., k2, k1] = X[k2 + N2*k1] (or [..., n]
     natural when n <= 128). Use for fft->pointwise->ifft pipelines: pair
     with :func:`ifft_pallas_from_permuted` and no transpose is ever paid.
 
     precision: "highest" (f32 MXU dots, SNR ~140 dB vs f64) or "bf16x3"
-    (split-bf16 dots, SNR ~110 dB, ~half the MXU time)."""
+    (split-bf16 dots, SNR ~110 dB, ~half the MXU time).
+
+    donate=True aliases x's HBM buffers to the output (streaming/chained
+    pipelines: avoids the full-array carry copy XLA otherwise inserts
+    per loop step — x must be dead after the call, or XLA will insert a
+    protective copy)."""
+    precision = resolve_precision(precision)
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
     if not is_power_of_two(n):
@@ -377,16 +471,18 @@ def fft_pallas_permuted(x, axis: int = -1,
         out_batch_shape = shape[:-1] + (n2, n1)
     else:
         out_batch_shape = shape
-    ore, oim = _fft_pallas_2d(re2, im2, n, False, interp, precision)
+    ore, oim = _fft_pallas_2d(re2, im2, n, False, interp, precision, donate)
     return ComplexArray(ore.reshape(out_batch_shape),
                         oim.reshape(out_batch_shape))
 
 
 def ifft_pallas_from_permuted(p: ComplexArray, axis_shape_n: int,
                               interpret: Optional[bool] = None,
-                              precision: str = "highest") -> ComplexArray:
+                              precision: Optional[str] = None,
+                              donate: bool = False) -> ComplexArray:
     """Inverse FFT consuming digit-permuted bins ([batch..., N2, N1]),
     emitting natural time order [batch..., n] over the last axis."""
+    precision = resolve_precision(precision)
     n = axis_shape_n
     interp = _use_interpret() if interpret is None else interpret
     pr, pi = p.real, p.imag
@@ -396,17 +492,18 @@ def ifft_pallas_from_permuted(p: ComplexArray, axis_shape_n: int,
         batch_shape = pr.shape[:-1]
     pr = pr.reshape(-1, n)
     pi = pi.reshape(-1, n)
-    ore, oim = _fft_pallas_2d(pr, pi, n, True, interp, precision)
+    ore, oim = _fft_pallas_2d(pr, pi, n, True, interp, precision, donate)
     return ComplexArray(ore.reshape(batch_shape + (n,)),
                         oim.reshape(batch_shape + (n,)))
 
 
 def fft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
-               precision: str = "highest") -> ComplexArray:
+               precision: Optional[str] = None,
+               donate: bool = False) -> ComplexArray:
     """Forward FFT, natural bin order (numpy convention, unnormalised)."""
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
-    p = fft_pallas_permuted(xc, axis, interpret, precision)
+    p = fft_pallas_permuted(xc, axis, interpret, precision, donate)
     ore = permuted_to_natural(p.real, n)
     oim = permuted_to_natural(p.imag, n)
     ax = axis % xc.real.ndim
@@ -414,15 +511,17 @@ def fft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
 
 
 def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
-                precision: str = "highest") -> ComplexArray:
+                precision: Optional[str] = None,
+                donate: bool = False) -> ComplexArray:
     """Inverse FFT with 1/N normalisation, natural order both sides."""
+    precision = resolve_precision(precision)
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
     if not is_power_of_two(n):
         raise ValueError(f"FFT size must be power of two, got {n}")
     re2, im2, shape = _flatten_batch(xc, axis)
     p = ComplexArray(natural_to_permuted(re2, n), natural_to_permuted(im2, n))
-    out = ifft_pallas_from_permuted(p, n, interpret, precision)
+    out = ifft_pallas_from_permuted(p, n, interpret, precision, donate)
     ax = axis % xc.real.ndim
     ore = out.real.reshape(shape)
     oim = out.imag.reshape(shape)
@@ -595,13 +694,15 @@ def _onesided_plan(n: int, window: str, precision: str):
 
 @functools.lru_cache(maxsize=1)
 def _atan_coefs() -> Tuple[float, ...]:
-    """Least-squares fit of atan(z)/z as a degree-10 polynomial in z^2 on
-    Chebyshev nodes over [0, 1] — max abs error 3.3e-10 over the whole
-    range-reduced domain (below f32 resolution)."""
+    """Least-squares fit of atan(z)/z as a degree-8 polynomial in z^2 on
+    Chebyshev nodes over [0, 1] — max abs error 1.4e-8 over the whole
+    range-reduced domain (below the ~6e-8 f32 resolution near pi, and
+    well inside the 2e-7 rad phase budget; degree 10 bought 3.3e-10,
+    invisible in f32, for two extra VPU fma passes per plane)."""
     k = np.arange(4000)
     z = (np.cos((2 * k + 1) * np.pi / 8000) + 1) / 2
     t = z * z
-    a = np.vander(t, 11, increasing=True)
+    a = np.vander(t, 9, increasing=True)
     target = np.where(z == 0, 1.0, np.arctan(z) / np.where(z == 0, 1, z))
     coef, *_ = np.linalg.lstsq(a, target, rcond=None)
     return tuple(float(c) for c in coef)
@@ -667,16 +768,40 @@ def _spectrum_onesided_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast,
         def row(plane, m_ref, u):
             return d1(plane, m_ref[u])
 
-    amps = []
-    phases = []
+    ys = []
     for u in range(n2):
         y = row(ar[u], mah_ref, u)
         if ai[u] is not None:
             y = y + row(ai[u], mbh_ref, u)
-        re, im = y[:, :half], y[:, half:]
-        amps.append(jnp.sqrt(re * re + im * im))
-        if with_phase:
-            phases.append(_atan2_poly(im, re))
+        ys.append(y)                      # (tb, 128) = [re_u | im_u]
+
+    amps = []
+    phases = []
+    if with_phase:
+        # Pack ROW PAIRS so sqrt and the ~20-op atan2 polynomial run on
+        # 100%-useful full-width (tb, 128) registers instead of masked
+        # (tb, 64) half-register ops: re_pair = [re_u | re_v],
+        # im_pair = [im_u | im_v] (two lane-selects each, trivially
+        # cheaper than the saved polynomial passes). n2 = n/128 >= 2 is
+        # even for every power-of-two n > 128. Packed entry j holds rows
+        # (2j, 2j+1) at lane offsets (0, 64); the corner turn below
+        # slices by (row, offset).
+        for j in range(0, n2, 2):
+            a, b = ys[j], ys[j + 1]
+            re_pair = jnp.concatenate([a[:, :half], b[:, :half]], axis=1)
+            im_pair = jnp.concatenate([a[:, half:], b[:, half:]], axis=1)
+            amps.append(jnp.sqrt(re_pair * re_pair + im_pair * im_pair))
+            phases.append(_atan2_poly(im_pair, re_pair))
+
+        def src(rows, u, lo, hi_):
+            return rows[u // 2][:, half * (u % 2) + lo:half * (u % 2) + hi_]
+    else:
+        for y in ys:
+            re, im = y[:, :half], y[:, half:]
+            amps.append(jnp.sqrt(re * re + im * im))
+
+        def src(rows, u, lo, hi_):
+            return rows[u][:, lo:hi_]
 
     # Corner turn on the MXU: per 128-bin chunk, lane-concat the n2
     # source sub-slices and scatter with the shared one-hot matrix. A
@@ -687,12 +812,16 @@ def _spectrum_onesided_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast,
     def turn(rows, out_ref):
         for r in range(n2 * half // LANES):
             chunk = jnp.concatenate(
-                [rows[u][:, wdt * r:wdt * (r + 1)] for u in range(n2)],
+                [src(rows, u, wdt * r, wdt * (r + 1)) for u in range(n2)],
                 axis=1)
-            h1 = chunk.astype(jnp.bfloat16)
-            r1 = chunk - h1.astype(jnp.float32)
-            h2 = r1.astype(jnp.bfloat16)
-            h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+            # 3-way split on the explicit bf16 grid (see _round_bf16_f32
+            # for why astype-pair splitting is NOT safe under XLA).
+            h1f = _round_bf16_f32(chunk)
+            r1 = chunk - h1f
+            h2f = _round_bf16_f32(r1)
+            h1 = h1f.astype(jnp.bfloat16)
+            h2 = h2f.astype(jnp.bfloat16)
+            h3 = (r1 - h2f).astype(jnp.bfloat16)
             nat = dot(h1, p) + (dot(h2, p) + dot(h3, p))
             out_ref[:, LANES * r:LANES * (r + 1)] = nat
 
@@ -836,7 +965,7 @@ def _spectrum_amp_2d(x: Array, n: int, window: str, interpret: bool) -> Array:
 def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
                               sides: str = "one",
                               interpret: Optional[bool] = None,
-                              precision: str = "highest") -> Array:
+                              precision: Optional[str] = None) -> Array:
     """Fused amplitude spectrum of real frames [batch..., n].
 
     Returns the scaled amplitude ([..., n//2+1] one-sided with DC/Nyquist
@@ -847,6 +976,7 @@ def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
     (split-bf16 MXU dots, SNR ~112 dB, ~1.4x throughput on v5e) — the
     fast mode applies to the one-sided n>128 path only.
     """
+    precision = resolve_precision(precision)
     x = jnp.asarray(x)
     if x.shape[-1] != n:
         raise ValueError(f"frame length {x.shape[-1]} != n {n}")
@@ -878,7 +1008,7 @@ def spectrum_amplitude_pallas(x, n: int, window: str = "rect",
 
 def spectrum_amp_phase_pallas(x, n: int, window: str = "rect",
                               interpret: Optional[bool] = None,
-                              precision: str = "highest"
+                              precision: Optional[str] = None
                               ) -> Tuple[Array, Array]:
     """Fused one-sided amplitude AND phase of real frames [batch..., n]
     in one kernel: (amplitude, phase), both [..., n//2+1] natural order.
@@ -889,6 +1019,7 @@ def spectrum_amp_phase_pallas(x, n: int, window: str = "rect",
     spectrum() on TPU so it pays a single HBM pass instead of separate
     FFT / hypot / atan2 / scaling kernels (round-1 VERDICT next-step #7).
     """
+    precision = resolve_precision(precision)
     x = jnp.asarray(x)
     if x.shape[-1] != n:
         raise ValueError(f"frame length {x.shape[-1]} != n {n}")

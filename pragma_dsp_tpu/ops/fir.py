@@ -45,7 +45,7 @@ def _conv_causal(x: Array, taps: Array) -> Array:
 
 
 def fir_filter(x, taps, method: str = "auto",
-               precision: str = "highest") -> Array:
+               precision: Optional[str] = None) -> Array:
     """Apply a real FIR filter causally along the last axis.
 
     method: 'direct' (XLA conv), 'overlap_save' (FFT blocks), or 'auto'
@@ -75,7 +75,7 @@ def fir_filter(x, taps, method: str = "auto",
 
 def overlap_save_filter(x: Array, taps: Array,
                         block: Optional[int] = None,
-                        precision: str = "highest") -> Array:
+                        precision: Optional[str] = None) -> Array:
     """Causal FIR via overlap-save FFT blocks (lfilter-equivalent).
 
     Each length-N block consumes N - (K-1) fresh samples and carries the
@@ -97,8 +97,13 @@ def overlap_save_filter(x: Array, taps: Array,
     # pipeline — incl. its bf16x3 mode — is exercisable off-TPU in
     # interpret mode; default policy mirrors ops/dispatch._resolve.
     from ..core.complex import is_power_of_two
+    if not is_power_of_two(n):
+        raise ValueError(
+            f"overlap-save block size must be a power of two, got {n} "
+            "(every FFT impl in this package is radix-2; pass block=None "
+            "for the automatic choice)")
     impl = get_fft_impl()
-    use_pallas = n > 128 and is_power_of_two(n) and (
+    use_pallas = n > 128 and (
         impl == "pallas"
         or (impl == "auto" and jax.default_backend() == "tpu"))
     # Overlap o >= K-1 samples are dropped per block. On the fused-kernel
@@ -106,7 +111,8 @@ def overlap_save_filter(x: Array, taps: Array,
     # region [o, n) is a lane-aligned free slice (the extra o-(K-1)
     # dropped samples are valid duplicates of the previous block).
     # pow-2 n > 128 with n >= 2(K-1) guarantees the rounded o <= n/2.
-    o = -(-(k - 1) // 128) * 128 if use_pallas else k - 1
+    from .fft_pallas import LANES
+    o = -(-(k - 1) // LANES) * LANES if use_pallas else k - 1
     hop = n - o
     n_blocks = -(-length // hop)
 
@@ -134,7 +140,11 @@ def overlap_save_filter(x: Array, taps: Array,
         from .fft_pallas import fft_pallas_permuted
         hspec = fft_pallas_permuted(ComplexArray(h, jnp.zeros_like(h)),
                                     precision=precision)
-        y = circular_convolve_pallas(frames, hspec, n, precision=precision)
+        # frames is freshly built above and dead after the kernel — alias
+        # its HBM buffer to the output (saves a full-array copy when the
+        # result feeds a loop carry).
+        y = circular_convolve_pallas(frames, hspec, n, precision=precision,
+                                     donate=True)
     else:
         hspec = _fft(h)
         fspec = _fft(frames)

@@ -1,11 +1,22 @@
 """Sharded DSP pipelines: halo-exchange overlap-save FIR, sharded
 spectrogram, and the channel-sharded PFB channelizer corner turn.
 
-Layouts follow the scaling-book recipe: pick a 1-D mesh, shard the
+Layouts follow the scaling-book recipe: pick a mesh, shard the
 embarrassingly-parallel axis (batch / frames / channels) with shard_map,
 and exchange only what the math requires — the K-1-sample filter halo
 via `ppermute` (neighbour traffic over ICI), the channelizer's
 frame->channel reshard via one `all_to_all`.
+
+Every entry point accepts either a single mesh axis name or a TUPLE of
+axis names (the ≥2-host story, BASELINE config 5): on a 2-D
+``make_mesh((hosts, chips), ("host", "chip"))`` mesh pass
+``axis=("host", "chip")`` and the time axis shards over the host-major
+flattened joint axis. Host-major means the `ppermute` halo hops ride
+ICI between chips of one host for (chips-1)/chips of the ring and cross
+DCN only at host boundaries, while the PFB's one `all_to_all` corner
+turn spans the joint axis — XLA decomposes it into ICI + DCN legs — and
+leaves the channel dimension sharded host-major: each host owns a
+contiguous block of whole channels, the config-5 layout.
 
 Every entry point builds its shard_map'd + jitted program once per
 static signature (lru_cache): repeated calls hit the compilation cache.
@@ -33,20 +44,39 @@ __all__ = ["sharded_fir_filter", "sharded_spectrogram",
            "sharded_pfb_channelize"]
 
 
-def _last_axis_spec(nd: int, axis: str) -> P:
+def _last_axis_spec(nd: int, axis) -> P:
     return P(*([None] * (nd - 1) + [axis]))
 
 
+def _axes(axis) -> Tuple[str, ...]:
+    """Normalise a mesh-axis argument (name or tuple of names)."""
+    return axis if isinstance(axis, tuple) else (axis,)
+
+
+def _extent(mesh: Mesh, axis) -> int:
+    return int(np.prod([mesh.shape[a] for a in _axes(axis)]))
+
+
+def _flat_index(mesh: Mesh, axis):
+    """Device position along the flattened joint axis (row-major over the
+    tuple order, matching how a PartitionSpec tuple entry shards)."""
+    axes = _axes(axis)
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
 @functools.lru_cache(maxsize=128)
-def _build_sharded_fir(mesh: Mesh, axis: str, k: int, nd: int, method: str,
+def _build_sharded_fir(mesh: Mesh, axis, k: int, nd: int, method: str,
                        is_complex: bool):
-    d = mesh.shape[axis]
+    d = _extent(mesh, axis)
 
     def one_plane(xb, taps):
         tail = xb[..., xb.shape[-1] - (k - 1):]
         perm = [(i, (i + 1) % d) for i in range(d)]
         halo = jax.lax.ppermute(tail, axis, perm)
-        is_first = jax.lax.axis_index(axis) == 0
+        is_first = _flat_index(mesh, axis) == 0
         halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
         buf = jnp.concatenate([halo, xb], axis=-1)
         return fir_filter(buf, taps, method)[..., k - 1:]
@@ -64,7 +94,7 @@ def _build_sharded_fir(mesh: Mesh, axis: str, k: int, nd: int, method: str,
     return jax.jit(fn)
 
 
-def sharded_fir_filter(x, taps, mesh: Mesh, axis: str = "x",
+def sharded_fir_filter(x, taps, mesh: Mesh, axis="x",
                        method: str = "auto") -> Array:
     """Causal FIR of a time-block-sharded signal, exactly equal to the
     single-device result.
@@ -91,10 +121,10 @@ def sharded_fir_filter(x, taps, mesh: Mesh, axis: str = "x",
 
 
 @functools.lru_cache(maxsize=128)
-def _build_sharded_spectrogram(mesh: Mesh, axis: str, n_fft: int, hop: int,
+def _build_sharded_spectrogram(mesh: Mesh, axis, n_fft: int, hop: int,
                                window: str, sample_rate: float, sides: str,
                                nd: int):
-    d = mesh.shape[axis]
+    d = _extent(mesh, axis)
     overlap = n_fft - hop
 
     def body(xb):
@@ -104,7 +134,7 @@ def _build_sharded_spectrogram(mesh: Mesh, axis: str, n_fft: int, hop: int,
         head = xb[..., :overlap]
         perm = [(i, (i - 1) % d) for i in range(d)]
         halo = jax.lax.ppermute(head, axis, perm)
-        is_last = jax.lax.axis_index(axis) == d - 1
+        is_last = _flat_index(mesh, axis) == d - 1
         halo = jnp.where(is_last, jnp.zeros_like(halo), halo)
         buf = jnp.concatenate([xb, halo], axis=-1)
         r = _spectrogram(buf, n_fft, hop, window, sample_rate, sides)
@@ -124,7 +154,7 @@ def _build_sharded_spectrogram(mesh: Mesh, axis: str, n_fft: int, hop: int,
 def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
                         window: str = "hann", sample_rate: float = 1.0,
                         sides: str = "one", *, mesh: Mesh,
-                        axis: str = "x", pad_tail: bool = False
+                        axis="x", pad_tail: bool = False
                         ) -> SpectrumResult:
     """Spectrogram with the time axis sharded in contiguous blocks.
 
@@ -144,7 +174,7 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
     """
     hop = hop if hop is not None else n_fft // 4
     x = jnp.asarray(x)
-    d = mesh.shape[axis]
+    d = _extent(mesh, axis)
     if (x.shape[-1] // d) % hop != 0:
         raise ValueError(
             f"local block {x.shape[-1] // d} must be a multiple of hop {hop}")
@@ -167,17 +197,17 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
 
 
 @functools.lru_cache(maxsize=128)
-def _build_sharded_pfb(mesh: Mesh, axis: str, channels: int, t_taps: int,
+def _build_sharded_pfb(mesh: Mesh, axis, channels: int, t_taps: int,
                        taps_per_branch: int, nd: int,
                        channels_sharded_out: bool):
-    d = mesh.shape[axis]
+    d = _extent(mesh, axis)
     hist = (t_taps - 1) * channels
 
     def body(xr, xi, taps):
         perm = [(i, (i + 1) % d) for i in range(d)]
         hr = jax.lax.ppermute(xr[..., xr.shape[-1] - hist:], axis, perm)
         hi = jax.lax.ppermute(xi[..., xi.shape[-1] - hist:], axis, perm)
-        first = jax.lax.axis_index(axis) == 0
+        first = _flat_index(mesh, axis) == 0
         hr = jnp.where(first, jnp.zeros_like(hr), hr)
         hi = jnp.where(first, jnp.zeros_like(hi), hi)
         buf = ComplexArray(jnp.concatenate([hr, xr], axis=-1),
@@ -207,7 +237,7 @@ def _build_sharded_pfb(mesh: Mesh, axis: str, channels: int, t_taps: int,
 
 def sharded_pfb_channelize(x, channels: int, taps=None,
                            taps_per_branch: int = 8, *, mesh: Mesh,
-                           axis: str = "x",
+                           axis="x",
                            channels_sharded_out: bool = True) -> ComplexArray:
     """PFB channelizer with the time axis sharded; one all_to_all corner
     turn reshards the output so each device owns C/D whole channels

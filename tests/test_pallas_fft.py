@@ -199,3 +199,51 @@ def test_fused_amp_phase_nyquist_and_dc():
                                        interpret=True)
     assert abs(abs(float(ph2[0, 0])) - np.pi) < 1e-6   # negative DC -> ±pi
     assert abs(abs(float(ph2[0, -1])) - np.pi) < 1e-6
+
+
+def test_donated_fft_matches_undonated():
+    """input_output_aliases path (streaming/chained contract) must be
+    bit-identical to the copying path, both directions."""
+    from pragma_dsp_tpu.core.complex import ComplexArray
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        fft_pallas_permuted, ifft_pallas_from_permuted)
+
+    rng = np.random.default_rng(11)
+    n = 1024
+    xc = ComplexArray(
+        jnp.asarray(rng.standard_normal((8, n)), jnp.float32),
+        jnp.asarray(rng.standard_normal((8, n)), jnp.float32))
+    a = fft_pallas_permuted(xc, interpret=True, precision="highest")
+    b = fft_pallas_permuted(xc, interpret=True, precision="highest",
+                            donate=True)
+    np.testing.assert_array_equal(np.asarray(a.real), np.asarray(b.real))
+    np.testing.assert_array_equal(np.asarray(a.imag), np.asarray(b.imag))
+    ia = ifft_pallas_from_permuted(a, n, interpret=True, precision="highest")
+    ib = ifft_pallas_from_permuted(b, n, interpret=True, precision="highest",
+                                   donate=True)
+    np.testing.assert_array_equal(np.asarray(ia.real), np.asarray(ib.real))
+    np.testing.assert_array_equal(np.asarray(ia.imag), np.asarray(ib.imag))
+
+
+def test_precision_policy_resolution():
+    """None -> global policy; 'auto' -> backend rule (highest on CPU);
+    explicit strings pass through; set_fft_precision validates."""
+    import pytest as _pytest
+
+    from pragma_dsp_tpu.ops.dispatch import (
+        get_fft_precision, set_fft_precision)
+    from pragma_dsp_tpu.ops.fft_pallas import resolve_precision
+
+    assert get_fft_precision() == "auto"
+    assert resolve_precision(None) == "highest"     # CPU backend in tests
+    assert resolve_precision("auto") == "highest"
+    assert resolve_precision("bf16x3") == "bf16x3"
+    assert resolve_precision("highest") == "highest"
+    set_fft_precision("bf16x3")
+    try:
+        assert resolve_precision(None) == "bf16x3"
+        assert resolve_precision("highest") == "highest"  # per-call wins
+    finally:
+        set_fft_precision("auto")
+    with _pytest.raises(ValueError):
+        set_fft_precision("f16")
