@@ -215,3 +215,84 @@ def test_input_shardings_respected(mesh):
     p = dist_fft(ComplexArray(xr, xi), mesh)
     out_shard_shapes = {s.data.shape for s in p.real.addressable_shards}
     assert out_shard_shapes == {(n2 // 8, n1)}
+
+
+# ── 2-D (host, chip) mesh — the >=2-host story (round-2 VERDICT #4) ──
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from pragma_dsp_tpu.parallel import make_mesh
+    return make_mesh((2, 4), ("host", "chip"))
+
+
+def test_2d_mesh_pfb_channels_sharded_over_host(mesh2d):
+    """Config-5 layout on a (2 hosts x 4 chips) mesh: time sharded over
+    the host-major joint axis (halo ppermute hops ride 'chip' within a
+    host), channels resharded by ONE all_to_all over the joint axis so
+    the channel dim ends up sharded host-major — each host owns a
+    contiguous block of whole channels."""
+    c = 32
+    x = RNG.standard_normal(8 * c * 8) + 1j * RNG.standard_normal(8 * c * 8)
+    xc = ComplexArray(jnp.asarray(x.real), jnp.asarray(x.imag))
+    h = pfb_taps(c, 8)
+    ref = pfb_channelize(xc, c, h)
+    got = sharded_pfb_channelize(xc, c, h, mesh=mesh2d,
+                                 axis=("host", "chip"),
+                                 channels_sharded_out=True)
+    np.testing.assert_allclose(np.asarray(got.real), np.asarray(ref.real),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.imag), np.asarray(ref.imag),
+                               atol=1e-10)
+    # each of the 8 devices owns C/8 whole channels; host-major order
+    shard_shapes = {s.data.shape for s in got.real.addressable_shards}
+    assert shard_shapes == {(ref.real.shape[0], c // 8)}
+    # the channel dim must be sharded over BOTH axes (host-major)
+    spec = got.real.sharding.spec
+    assert tuple(spec[-1]) == ("host", "chip")
+
+
+def test_2d_mesh_pfb_frames_sharded(mesh2d):
+    c = 32
+    x = RNG.standard_normal(8 * c * 8) + 1j * RNG.standard_normal(8 * c * 8)
+    xc = ComplexArray(jnp.asarray(x.real), jnp.asarray(x.imag))
+    ref = pfb_channelize(xc, c)
+    got = sharded_pfb_channelize(xc, c, mesh=mesh2d, axis=("host", "chip"),
+                                 channels_sharded_out=False)
+    np.testing.assert_allclose(np.asarray(got.real), np.asarray(ref.real),
+                               atol=1e-10)
+
+
+def test_2d_mesh_fir_halo(mesh2d):
+    """FIR halos on the joint host-major ring must equal lfilter exactly
+    (the K-1 halo crosses a host boundary only between chip 3 of host 0
+    and chip 0 of host 1)."""
+    taps = np.hamming(31)
+    x = RNG.standard_normal(4096)
+    ref = sps.lfilter(taps, 1.0, x)
+    got = sharded_fir_filter(jnp.asarray(x), jnp.asarray(taps), mesh2d,
+                             axis=("host", "chip"))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10)
+
+
+def test_2d_mesh_spectrogram(mesh2d):
+    n_fft, hop = 256, 64
+    x = RNG.standard_normal(8 * 1024)
+    ref = spectrogram(jnp.asarray(x), n_fft, hop, "hann", 48000.0)
+    got = sharded_spectrogram(jnp.asarray(x), n_fft, hop, "hann", 48000.0,
+                              mesh=mesh2d, axis=("host", "chip"))
+    np.testing.assert_allclose(np.asarray(got.amplitude),
+                               np.asarray(ref.amplitude), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.peak.index),
+                               np.asarray(ref.peak.index))
+
+
+def test_2d_mesh_chip_only_subaxis(mesh2d):
+    """A 1-D pipeline can also run on just one axis of a 2-D mesh (e.g.
+    halos confined to the 4-chip ICI axis, 2-way host batch outside)."""
+    taps = np.hamming(17)
+    x = RNG.standard_normal((2, 2048))
+    ref = sps.lfilter(taps, 1.0, x, axis=-1)
+    got = sharded_fir_filter(jnp.asarray(x), jnp.asarray(taps), mesh2d,
+                             axis="chip")
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10)
