@@ -29,7 +29,7 @@ from .fft_pallas import (
     spectrum_amp_phase_pallas,
 )
 from .fir import FirState, fir_filter, fir_step, fir_stream_init, overlap_save_filter
-from .rfft import irfft, paired_spectrum_amplitude, rfft
+from .rfft import irfft, rfft
 from .polyphase import (
     UpfirdnState,
     decimate,
@@ -53,7 +53,6 @@ __all__ = [
     "fft_fourstep",
     "rfft",
     "irfft",
-    "paired_spectrum_amplitude",
     "ifft_fourstep",
     "fft_pallas",
     "ifft_pallas",

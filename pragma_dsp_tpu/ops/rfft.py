@@ -1,18 +1,15 @@
-"""Real-input FFTs: numpy-parity rfft/irfft + a batch-paired amplitude
-fast path.
+"""Real-input FFTs: numpy-parity rfft/irfft.
 
-Two classic two-for-one tricks, both exact:
+The classic two-for-one trick, exact: even/odd time samples packed into
+one half-size complex transform, untangled with conjugate symmetry +
+twiddles (X[k] = E[k] + W_N^k O[k]). Matches numpy.fft.rfft bins
+[0..N/2]. The sibling trick — two REAL frames packed as real/imag of
+one complex frame — lives where it has a real consumer: the fused
+overlap-save convolution kernel pairs batch halves in-kernel
+(ops/conv_pallas.py _osconv_pair_kernel), halving MXU work per sample.
 
-* ``rfft``: even/odd time samples packed into one half-size complex
-  transform, untangled with conjugate symmetry + twiddles
-  (X[k] = E[k] + W_N^k O[k]). Matches numpy.fft.rfft bins [0..N/2].
-* ``paired_spectrum_amplitude``: two REAL frames of a batch packed as
-  real/imag of one complex frame — FFT work halves with zero packing
-  cost (batch-axis slicing), then |X| for both frames is recovered from
-  Z and its bin-reversed conjugate. Used by the TPU spectrum fast path.
-
-Both run their complex core through ops.dispatch, so on TPU it is the
-fused Pallas kernel.
+The complex core runs through ops.dispatch, so on TPU it is the fused
+Pallas kernel.
 """
 
 from __future__ import annotations
@@ -27,7 +24,7 @@ import numpy as np
 from ..core.complex import Array, ComplexArray, as_complex_array, is_power_of_two
 from .dispatch import fft as _fft, ifft as _ifft
 
-__all__ = ["rfft", "irfft", "paired_spectrum_amplitude"]
+__all__ = ["rfft", "irfft"]
 
 
 @lru_cache(maxsize=64)
@@ -117,32 +114,3 @@ def irfft(X, n: Optional[int] = None, axis: int = -1,
     z = _ifft(ComplexArray(zr, zi), impl=impl)
     out = jnp.stack([z.real, z.imag], axis=-1).reshape(re.shape[:-1] + (n,))
     return jnp.moveaxis(out, -1, axis % (out.ndim))
-
-
-def paired_spectrum_amplitude(x: Array, n: int, window: str = "rect",
-                              interpret: Optional[bool] = None) -> Array:
-    """|FFT(window * x)| / n for a batch of REAL frames [B, n] with B
-    even, at half the FFT cost: frames (2i, 2i+1) ride one complex
-    transform. Returns the full two-sided scaled amplitude [B, n].
-    """
-    from ..xform.fourier import window_values
-    from .fft_pallas import fft_pallas
-
-    b = x.shape[0]
-    if b % 2 != 0:
-        raise ValueError("paired path needs an even batch")
-    win = jnp.asarray(window_values(window, n), x.dtype)
-    xw = x * win
-    Z = fft_pallas(ComplexArray(xw[0::2], xw[1::2]), interpret=interpret)
-    zr, zi = Z.real, Z.imag
-    fr, fi = _bin_flip(zr, zi)
-    # X_even = (Z + conj(Zf))/2 ; X_odd = (Z - conj(Zf))/(2j)
-    ar = 0.5 * (zr + fr)
-    ai = 0.5 * (zi - fi)
-    br = 0.5 * (zi + fi)
-    bi = 0.5 * (fr - zr)
-    amp_even = jnp.sqrt(ar * ar + ai * ai)
-    amp_odd = jnp.sqrt(br * br + bi * bi)
-    inv_n = jnp.asarray(1.0 / n, x.dtype)
-    out = jnp.stack([amp_even, amp_odd], axis=1).reshape(b, n)
-    return out * inv_n

@@ -3,7 +3,7 @@
 The same Bailey decomposition the Pallas kernel uses per chip
 (ops/fft_pallas.py) applied across chips: view x as (N2, N1) with the
 n1 axis sharded; the column sub-DFT is device-local, the digit-swap
-corner turn becomes ONE tiled `all_to_all` over the mesh axis, and the
+corner turn becomes a tiled `all_to_all` over the mesh axis, and the
 row sub-DFT is local again. The long-context/sequence-parallel analogue
 of SURVEY.md §5: the sequence (time) dimension is sharded and the only
 communication is the corner turn.
@@ -12,6 +12,19 @@ Like the single-chip kernel, the forward emits digit-permuted bins
 (P[k2, k1] = X[k2 + N2*k1], k2 sharded) and the inverse consumes them —
 a distributed fft -> pointwise -> ifft pipeline communicates exactly
 twice, and spectral postprocessing (scaling, peak-find) is layout-free.
+
+**Comm/compute overlap** (SURVEY §7 hard-parts #1: at 1M points the
+corner turn dominates): the all_to_all is split into ``chunks`` pieces
+interleaved with the second local FFT — chunk c+1's collective has no
+data dependence on chunk c's sub-FFT, so XLA's latency-hiding scheduler
+can run the transfer behind the compute (async collective start/done
+pairs on a real pod; on the virtual CPU test mesh the chunked path is
+exercised for correctness). Chunking slices the OUTPUT rows (forward) /
+output lanes (inverse) of the corner turn, so the pieces concatenate
+back in natural order with no extra permutation.
+
+Batch dims: input may carry leading batch axes ([..., N2, N1]); the
+transform and the corner turn run over the trailing two axes.
 
 Local sub-FFTs go through ops.dispatch, so on TPU they are themselves
 the fused Pallas kernels.
@@ -57,8 +70,8 @@ def _twiddles_fwd(n, n2, n1, sign, dtype):
 
 
 @functools.lru_cache(maxsize=128)
-def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int,
-                    dtype_name: str, inverse: bool):
+def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
+                    dtype_name: str, inverse: bool, chunks: int):
     """Build + jit the shard_map'd transform once per static signature,
     so repeated dist_fft calls hit the compilation cache instead of
     retracing (shard_map closures are not cached by identity)."""
@@ -69,12 +82,19 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int,
     sign = 1.0 if inverse else -1.0
     dtype = _jnp.dtype(dtype_name)
     tc_full, ts_full = _twiddles_fwd(n, n2, n1, sign, dtype)
+    lead = [None] * (nd - 2)
+
+    def a2a(t, split, concat):
+        return jax.lax.all_to_all(t, axis, split_axis=split,
+                                  concat_axis=concat, tiled=True)
 
     if inverse:
-        in_spec = (P(axis, None), P(axis, None))
-        out_spec = (P(None, axis), P(None, axis))
+        in_spec = (P(*lead, axis, None), P(*lead, axis, None))
+        out_spec = (P(*lead, None, axis), P(*lead, None, axis))
 
         def body_fixed(pr, pi):
+            b = pr.shape[:-2]
+            nb = len(b)
             # 1. local DFT+ over k1 with 1/N1 (full rows of the k2-shard).
             o = _ifft(ComplexArray(pr, pi), axis=-1)
             rr, ii = o.real, o.imag
@@ -84,73 +104,125 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int,
             ts = jax.lax.dynamic_slice_in_dim(ts_full, k2_off, n2 // d, 0)
             tr = rr * tc - ii * ts
             ti = rr * ts + ii * tc
-            # 3. corner turn: (n2/D, n1) -> (n2, n1/D).
-            tr = jax.lax.all_to_all(tr, axis, split_axis=1, concat_axis=0,
-                                    tiled=True)
-            ti = jax.lax.all_to_all(ti, axis, split_axis=1, concat_axis=0,
-                                    tiled=True)
-            # 4. local DFT+ over n2 with 1/N2 — the two inverse
-            # normalisations compose to exactly 1/N.
-            o = _ifft(ComplexArray(tr, ti), axis=0)
-            return o.real, o.imag
+            # 3+4. chunked corner turn (n2/D, n1) -> (n2, n1/D) over
+            # output-lane chunks, interleaved with the local DFT+ over
+            # n2 — the two inverse normalisations compose to exactly 1/N.
+            loc = n1 // d
+            w = loc // chunks
+            trv = tr.reshape(b + (n2 // d, d, loc))
+            tiv = ti.reshape(b + (n2 // d, d, loc))
+            outs_r, outs_i = [], []
+            for c in range(chunks):
+                sr = trv[..., c * w:(c + 1) * w].reshape(b + (n2 // d, d * w))
+                si = tiv[..., c * w:(c + 1) * w].reshape(b + (n2 // d, d * w))
+                ar = a2a(sr, nb + 1, nb)       # -> (..., n2, w)
+                ai = a2a(si, nb + 1, nb)
+                oc = _ifft(ComplexArray(ar, ai), axis=-2)
+                outs_r.append(oc.real)
+                outs_i.append(oc.imag)
+            if chunks == 1:
+                return outs_r[0], outs_i[0]
+            return (jnp.concatenate(outs_r, axis=-1),
+                    jnp.concatenate(outs_i, axis=-1))
     else:
-        in_spec = (P(None, axis), P(None, axis))
-        out_spec = (P(axis, None), P(axis, None))
+        in_spec = (P(*lead, None, axis), P(*lead, None, axis))
+        out_spec = (P(*lead, axis, None), P(*lead, axis, None))
 
         def body_fixed(xr, xi):
+            b = xr.shape[:-2]
+            nb = len(b)
             # 1. local DFT over n2 (full columns of the n1-shard).
-            o = _fft(ComplexArray(xr, xi), axis=0)
-            rr, ii = o.real, o.imag            # (k2, n1_local)
+            o = _fft(ComplexArray(xr, xi), axis=-2)
+            rr, ii = o.real, o.imag            # (..., k2, n1_local)
             # 2. twiddle W^(n1*k2), n1 columns of this device.
             n1_off = jax.lax.axis_index(axis) * (n1 // d)
             tc = jax.lax.dynamic_slice_in_dim(tc_full, n1_off, n1 // d, 1)
             ts = jax.lax.dynamic_slice_in_dim(ts_full, n1_off, n1 // d, 1)
             tr = rr * tc - ii * ts
             ti = rr * ts + ii * tc
-            # 3. corner turn: (n2, n1/D) -> (n2/D, n1).
-            tr = jax.lax.all_to_all(tr, axis, split_axis=0, concat_axis=1,
-                                    tiled=True)
-            ti = jax.lax.all_to_all(ti, axis, split_axis=0, concat_axis=1,
-                                    tiled=True)
-            # 4. local DFT over n1 rows -> P[k2, k1].
-            o = _fft(ComplexArray(tr, ti), axis=-1)
-            return o.real, o.imag
+            # 3+4. chunked corner turn (n2, n1/D) -> (n2/D, n1) over
+            # output-row chunks, interleaved with the local row DFTs:
+            # chunk c+1's all_to_all is independent of chunk c's FFT, so
+            # the scheduler can overlap transfer with compute.
+            rows = n2 // d
+            w = rows // chunks
+            loc = n1 // d
+            trv = tr.reshape(b + (d, rows, loc))
+            tiv = ti.reshape(b + (d, rows, loc))
+            outs_r, outs_i = [], []
+            for c in range(chunks):
+                sr = trv[..., c * w:(c + 1) * w, :].reshape(
+                    b + (d * w, loc))
+                si = tiv[..., c * w:(c + 1) * w, :].reshape(
+                    b + (d * w, loc))
+                ar = a2a(sr, nb, nb + 1)       # -> (..., w, n1)
+                ai = a2a(si, nb, nb + 1)
+                oc = _fft(ComplexArray(ar, ai), axis=-1)
+                outs_r.append(oc.real)
+                outs_i.append(oc.imag)
+            if chunks == 1:
+                return outs_r[0], outs_i[0]
+            return (jnp.concatenate(outs_r, axis=-2),
+                    jnp.concatenate(outs_i, axis=-2))
 
     return jax.jit(shard_map(body_fixed, mesh=mesh, in_specs=in_spec,
                              out_specs=out_spec, check_vma=False))
 
 
-def dist_fft(x, mesh: Mesh, axis: str = "x",
-             inverse: bool = False) -> ComplexArray:
-    """Distributed FFT of a (N2, N1) view of a length N2*N1 signal.
+def _auto_chunks(n2: int, n1: int, d: int, inverse: bool) -> int:
+    """Overlap depth: 2 when the chunked dimension splits evenly and is
+    big enough that splitting does not shrink the per-chunk collective
+    below a useful message size; else 1 (monolithic)."""
+    extent = (n1 // d) if inverse else (n2 // d)
+    for c in (2,):
+        if extent % c == 0 and extent // c >= 2:
+            return c
+    return 1
 
-    forward: input (N2, N1) natural (x[n1 + N1*n2] at [n2, n1]), n1-axis
-    sharded; output (N2, N1) permuted (X[k2 + N2*k1] at [k2, k1]),
-    k2-axis sharded.
+
+def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
+             chunks: Optional[int] = None) -> ComplexArray:
+    """Distributed FFT of a [..., N2, N1] view of length N2*N1 signals.
+
+    forward: input (..., N2, N1) natural (x[n1 + N1*n2] at [n2, n1]),
+    n1-axis sharded; output (..., N2, N1) permuted (X[k2 + N2*k1] at
+    [k2, k1]), k2-axis sharded.
     inverse: exactly the reverse (consumes permuted, emits natural),
-    with 1/N scaling.
+    with 1/N scaling. Leading axes are batch.
 
-    One collective per transform: the tiled all_to_all corner turn.
+    ``chunks`` controls comm/compute overlap: the corner-turn
+    all_to_all is issued in that many pieces interleaved with the
+    second local FFT (None -> automatic: 2 when the shard extent splits
+    evenly). chunks=1 is the monolithic round-2 behaviour.
     """
     xc = as_complex_array(x)
     n2, n1 = xc.real.shape[-2], xc.real.shape[-1]
     d = mesh.shape[axis]
     if n1 % d != 0 or n2 % d != 0:
         raise ValueError(f"(N2={n2}, N1={n1}) must both divide by D={d}")
-    fn = _build_dist_fft(mesh, axis, n2, n1, str(xc.real.dtype), inverse)
+    if chunks is None:
+        chunks = _auto_chunks(n2, n1, d, inverse)
+    extent = (n1 // d) if inverse else (n2 // d)
+    if extent % chunks != 0:
+        raise ValueError(
+            f"chunks={chunks} must divide the local corner-turn extent "
+            f"{extent}")
+    fn = _build_dist_fft(mesh, axis, n2, n1, xc.real.ndim,
+                         str(xc.real.dtype), inverse, chunks)
     ore, oim = fn(xc.real, xc.imag)
     return ComplexArray(ore, oim)
 
 
-def dist_ifft(p, mesh: Mesh, axis: str = "x") -> ComplexArray:
+def dist_ifft(p, mesh: Mesh, axis: str = "x",
+              chunks: Optional[int] = None) -> ComplexArray:
     """Inverse of :func:`dist_fft`: permuted k2-sharded in, natural
     n1-sharded out, 1/N normalised."""
-    return dist_fft(p, mesh, axis, inverse=True)
+    return dist_fft(p, mesh, axis, inverse=True, chunks=chunks)
 
 
 def permuted_to_natural_host(p: ComplexArray) -> np.ndarray:
-    """Gather a permuted (N2, N1) spectrum to the host in natural order
-    (test/debug utility — production pipelines stay permuted)."""
+    """Gather a permuted (..., N2, N1) spectrum to the host in natural
+    order (test/debug utility — production pipelines stay permuted)."""
     pr = np.asarray(p.real)
     pi = np.asarray(p.imag)
     n2, n1 = pr.shape[-2:]

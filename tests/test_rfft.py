@@ -1,10 +1,10 @@
-"""Real-input FFT tests: rfft/irfft numpy parity, paired amplitude."""
+"""Real-input FFT tests: rfft/irfft numpy parity."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pragma_dsp_tpu.ops import irfft, paired_spectrum_amplitude, rfft
+from pragma_dsp_tpu.ops import irfft, rfft
 from pragma_dsp_tpu.utils.fixtures import snr_db
 from pragma_dsp_tpu.xform.fourier import window_values
 
@@ -43,15 +43,6 @@ def test_rfft_axis0():
     out = rfft(jnp.asarray(x), axis=0).to_numpy_complex()
     ref = np.fft.rfft(x, axis=0)
     np.testing.assert_allclose(out, ref, atol=1e-10)
-
-
-def test_paired_amplitude_matches_direct():
-    n = 1024
-    x = RNG.standard_normal((6, n)).astype(np.float32)
-    amp = np.asarray(paired_spectrum_amplitude(jnp.asarray(x), n, "hann"))
-    w = window_values("hann", n)
-    ref = np.abs(np.fft.fft(x * w, axis=-1)) / n
-    assert snr_db(ref, amp) > 110
 
 
 def test_rfft_rejects_bad_sizes():

@@ -296,3 +296,51 @@ def test_2d_mesh_chip_only_subaxis(mesh2d):
     got = sharded_fir_filter(jnp.asarray(x), jnp.asarray(taps), mesh2d,
                              axis="chip")
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10)
+
+
+# ── dist_fft: batch dims + chunked overlap (round-2 VERDICT #6) ──
+
+
+def test_dist_fft_batched(mesh):
+    """Leading batch axes run through the same sharded transform."""
+    n = 1 << 12
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal((3, n)) + 1j * RNG.standard_normal((3, n))
+    xv = x.reshape(3, n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real), jnp.asarray(xv.imag))
+    p = dist_fft(xc, mesh)
+    got = permuted_to_natural_host(p)
+    ref = np.fft.fft(x, axis=-1)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 200
+    rt = dist_ifft(p, mesh)
+    back = (np.asarray(rt.real) + 1j * np.asarray(rt.imag)).reshape(3, n)
+    np.testing.assert_allclose(back, x, atol=1e-10)
+
+
+@pytest.mark.parametrize("chunks", [1, 2, 4])
+def test_dist_fft_chunked_overlap_parity(mesh, chunks):
+    """Every overlap depth must give the identical transform (the
+    chunked corner turn slices output rows/lanes, changing only the
+    collective schedule, never values)."""
+    n = 1 << 14
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    xv = x.reshape(n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real), jnp.asarray(xv.imag))
+    p = dist_fft(xc, mesh, chunks=chunks)
+    got = permuted_to_natural_host(p)
+    ref = np.fft.fft(x)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 200
+    rt = dist_ifft(p, mesh, chunks=chunks)
+    back = (np.asarray(rt.real) + 1j * np.asarray(rt.imag)).reshape(n)
+    np.testing.assert_allclose(back, x, atol=1e-10)
+
+
+def test_dist_fft_rejects_bad_chunks(mesh):
+    n2, n1 = dist_fft_shape(1 << 12, 8)
+    x = RNG.standard_normal((n2, n1))
+    xc = ComplexArray(jnp.asarray(x), jnp.asarray(np.zeros_like(x)))
+    with pytest.raises(ValueError, match="chunks"):
+        dist_fft(xc, mesh, chunks=7)
