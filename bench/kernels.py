@@ -163,6 +163,8 @@ def main():
            flops_per_sample=768 * 6)
 
     # ── fused circular convolution (real frames -> real frames) ──
+    # Pair kernel: one complex fwd+inv pipeline serves TWO real frames,
+    # so per real sample the lane dots cost fft_flops (not 2x).
     h = np.zeros(N, np.float32)
     h[:127] = np.hamming(127) / np.hamming(127).sum()
     hspec = fft_pallas_permuted(
@@ -173,8 +175,8 @@ def main():
             f, hspec, N, interpret=interp, precision=_p, donate=True),),
             (re_,), K)
         report(f"fused circular conv {prec}", t, K, S,
-               bytes_per_sample=8, flops_per_sample=2048 * passes,
-               note="real in+out, donated chain")
+               bytes_per_sample=8, flops_per_sample=fft_flops * passes,
+               note="pair kernel, real in+out, donated")
 
     def fs(r, i):
         o = fft_fourstep(ComplexArray(r, i))
@@ -184,10 +186,17 @@ def main():
            note="XLA path, includes carry copy")
 
     # ── shape-changing pipelines: probe-chained ──
+    # The chain consumes the FULL output via a fused sum: consuming only
+    # one element lets XLA dead-code-eliminate sliceable stages (a
+    # banded-matmul resampler collapses to one output row and reads 5x
+    # too fast; pallas calls are opaque and always run fully, but the
+    # XLA-composed pre/post passes around them are not). The reduction
+    # itself adds one fused read of each output, which the byte models
+    # below include.
     def chained(op):
         def step(v, acc):
             out = op(v)
-            s = sum(t.reshape(-1)[0] for t in jax.tree_util.tree_leaves(out))
+            s = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(out))
             probe = v[:1] + s * jnp.asarray(1e-30, v.dtype)
             return lax.dynamic_update_slice(v, probe, (0,)), acc + s
         return step
@@ -196,34 +205,48 @@ def main():
                        dtype=jnp.float32)
     sig = re_.reshape(-1)[: 1 << 22] if big else re_.reshape(-1)
     acc0 = jnp.zeros((), jnp.float32)
-    k4 = max(K // 4, 1)
-    # FIR overlap-save end-to-end traffic model (n=1024, o=128, hop=896):
-    #   read x (4) + write frames (4*n/hop) + conv kernel in+out
-    #   (8*n/hop) + read valid + write y (~8) ~= 4 + 12*1024/896 + 8
-    fir_bytes = 4 + 12 * 1024 / 896 + 8
+    # These pipelines now run in 0.13-0.5 ms/iter: the loop must dwarf
+    # the ~25 ms RTT or the subtraction is noise-dominated (a round-3
+    # rerun read "0.000 ms" for the resampler at 10 iterations).
+    k4 = max(K, 1)
+    # FIR overlap-save end-to-end traffic model (n=1024, o=128, hop=896,
+    # r = n/hop): read x (4) + write frames (4r) + conv kernel in+out
+    # (8r) + checksum reduction reads y (4r)
+    fir_bytes = 4 + 16 * 1024 / 896
     t = timed(chained(lambda v: fir_filter(v, taps, "overlap_save")),
               (sig, acc0), k4)
     report(f"overlap-save FIR127 {sig.shape[0]/1e6:.1f}M", t, k4,
            sig.shape[0], bytes_per_sample=fir_bytes,
            note="end-to-end incl. framing")
 
-    k8 = max(K // 8, 1)
-    # resampler: upfirdn banded matmul; traffic ~ in 4 + out 4*(147/160)
-    #   + polyphase frame materialisation (~2 passes over input)
+    # resampler: upfirdn banded matmul; traffic ~ in 4 + polyphase frame
+    # materialisation (~2 passes over input) + out 4*(147/160) + the
+    # checksum reduction reading the output once more
     t = timed(chained(lambda v: resample_poly(v, 147, 160, num_taps=1177)),
-              (sig, acc0), k8)
-    report("resample 48k->44.1k", t, k8, sig.shape[0],
-           bytes_per_sample=4 + 4 * 147 / 160 + 8,
+              (sig, acc0), k4)
+    report("resample 48k->44.1k", t, k4, sig.shape[0],
+           bytes_per_sample=4 + 8 + 8 * 147 / 160,
            note="upfirdn banded matmul")
 
     c = 256
     iq_len = (sig.shape[0] // c) * c
-    iq_sig = sig[:iq_len]
-    # PFB: complex in (8) + complex out (8) + branch-filter frames (~2x in)
-    t = timed(chained(lambda v: pfb_channelize(ComplexArray(v, v * 0.5), c)),
-              (iq_sig, acc0), k8)
-    report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k8, iq_len,
-           bytes_per_sample=8 + 8 + 16, note="complex IQ, 8 taps/branch")
+    iq_re = sig[:iq_len]
+    iq_im = im_.reshape(-1)[:iq_len] if big else sig[:iq_len]
+
+    # PFB traffic: complex in (8) + branch-filter write (8) + pallas
+    # FFT-256 read+write (16) + checksum reduction reading the permuted
+    # kernel output (8; the natural-order transpose fuses into the
+    # reduce). Carry re/im separately (building the imag plane inside
+    # the loop body added a full extra pass and, with few iterations,
+    # made the round-2 row read 8.5 GS/s for a ~26 GS/s op).
+    def pfb_step(v, w, acc):
+        out = pfb_channelize(ComplexArray(v, w), c)
+        s = jnp.sum(out.real) + jnp.sum(out.imag)
+        probe = v[:1] + s * jnp.asarray(1e-30, v.dtype)
+        return lax.dynamic_update_slice(v, probe, (0,)), w, acc + s
+    t = timed(pfb_step, (iq_re, iq_im, acc0), k4)
+    report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k4, iq_len,
+           bytes_per_sample=8 + 8 + 16 + 8, note="complex IQ, 8 taps/branch")
 
     print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} "
           f"GB/s  f32 {specs['f32_flops']/1e12:.0f} TF/s  "

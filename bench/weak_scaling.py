@@ -8,6 +8,7 @@ measures real ICI/DCN behaviour with the same code."""
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -18,7 +19,7 @@ from helpers import parse_args, verified
 def main():
     args = parse_args(lambda p: p.add_argument(
         "--devices", default="1,2,4,8"))
-    if os.environ.get("JAX_PLATFORMS") != "tpu" and "--cpu" not in os.sys.argv:
+    if os.environ.get("JAX_PLATFORMS") != "tpu" and "--cpu" not in sys.argv:
         # default to the virtual cpu mesh when not on a pod
         os.environ.setdefault("XLA_FLAGS",
                               "--xla_force_host_platform_device_count=8")
