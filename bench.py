@@ -145,6 +145,22 @@ def main() -> int:
     if rt_snr < 105.0:
         failures.append(f"roundtrip SNR {rt_snr:.1f} dB < 105 dB")
 
+    # Small-transform guardrail: dispatch routes n <= 128 to the
+    # fourstep matmul path, whose DEFAULT-precision dots silently ran at
+    # ~54 dB on TPU until round 3 (the x64 CPU test tier cannot see MXU
+    # truncation). Gate it on real hardware.
+    from pragma_dsp_tpu.ops.dispatch import fft as _dfft
+    small = ComplexArray(x[:64, :128], sub_im[:, :128])
+    o = _dfft(small, axis=-1)
+    zs = np.asarray(o.real, np.float64) + 1j * np.asarray(o.imag, np.float64)
+    zr = np.fft.fft(np.asarray(small.real, np.float64)
+                    + 1j * np.asarray(small.imag, np.float64), axis=-1)
+    s_snr = 10 * np.log10((np.abs(zr) ** 2).sum()
+                          / max((np.abs(zs - zr) ** 2).sum(), 1e-300))
+    log(f"small-n (128) dispatch FFT SNR: {s_snr:.1f} dB")
+    if s_snr < 120.0:
+        failures.append(f"small-n FFT SNR {s_snr:.1f} dB < 120 dB")
+
     bytes_per_iter = batch * n * 4 + batch * (n // 2 + 1) * 4
     measured_bw = bytes_per_iter / per_iter
     log(f"measured HBM rate: {measured_bw/1e9:.0f} GB/s of "

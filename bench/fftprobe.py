@@ -57,11 +57,20 @@ def main():
         ComplexArray(jnp.asarray(h), jnp.zeros(N, jnp.float32)),
         interpret=interp, precision="highest")
 
-    for prec in ("bf16x3", "highest"):
-        t = timed(lambda f, _p=prec: (circular_convolve_pallas(
-            f, hspec, N, interpret=interp, precision=_p, donate=True),),
+    import importlib
+    _fp = importlib.import_module('pragma_dsp_tpu.ops.fft_pallas')
+    _cp = importlib.import_module('pragma_dsp_tpu.ops.conv_pallas')
+    orig_pick = _fp._pick_tile
+    for tb in (64, 128, 256, 512):
+        _fp._pick_tile = lambda batch, n, plane_budget=None, _tb=tb: _tb
+        _cp._pick_tile = _fp._pick_tile
+        _cp._osconv_pair_2d.clear_cache()
+        t = timed(lambda f: (circular_convolve_pallas(
+            f, hspec, N, interpret=interp, precision="bf16x3", donate=True),),
             (re,), K)
-        report(f"pair conv {prec}", t, K)
+        report(f"pair conv bf16x3 tb={tb}", t, K)
+    _fp._pick_tile = orig_pick
+    _cp._pick_tile = orig_pick
 
     def amp_phase_step(prec):
         def step(v):

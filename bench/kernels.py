@@ -233,12 +233,12 @@ def main():
     iq_re = sig[:iq_len]
     iq_im = im_.reshape(-1)[:iq_len] if big else sig[:iq_len]
 
-    # PFB traffic: complex in (8) + branch-filter write (8) + pallas
-    # FFT-256 read+write (16) + checksum reduction reading the permuted
-    # kernel output (8; the natural-order transpose fuses into the
-    # reduce). Carry re/im separately (building the imag plane inside
-    # the loop body added a full extra pass and, with few iterations,
-    # made the round-2 row read 8.5 GS/s for a ~26 GS/s op).
+    # PFB traffic (fused single-pass kernel, ops/pfb_pallas.py):
+    # complex in (8) + natural-order complex out (8) + checksum
+    # reduction reading the output (8). Carry re/im separately (building
+    # the imag plane inside the loop body added a full extra pass and,
+    # with few iterations, made the round-2 row read 8.5 GS/s for a
+    # ~21-26 GS/s op).
     def pfb_step(v, w, acc):
         out = pfb_channelize(ComplexArray(v, w), c)
         s = jnp.sum(out.real) + jnp.sum(out.imag)
@@ -246,7 +246,8 @@ def main():
         return lax.dynamic_update_slice(v, probe, (0,)), w, acc + s
     t = timed(pfb_step, (iq_re, iq_im, acc0), k4)
     report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k4, iq_len,
-           bytes_per_sample=8 + 8 + 16 + 8, note="complex IQ, 8 taps/branch")
+           bytes_per_sample=8 + 8 + 8,
+           note="fused kernel, 8 taps/branch")
 
     print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} "
           f"GB/s  f32 {specs['f32_flops']/1e12:.0f} TF/s  "

@@ -23,7 +23,7 @@ def main():
     S = 1 << 22 if backend == "tpu" else 1 << 16
     C = 256
     M = S // C
-    K = 10 if backend == "tpu" else 2
+    K = 60 if backend == "tpu" else 2
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal(S), jnp.float32)
     xi = jnp.asarray(rng.standard_normal(S), jnp.float32)
@@ -54,7 +54,7 @@ def main():
     def chained(op):
         def step(v, w, acc):
             out = op(ComplexArray(v, w))
-            s = sum(t.reshape(-1)[0] for t in jax.tree_util.tree_leaves(out))
+            s = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(out))
             probe = v[:1] + s * jnp.asarray(1e-30, v.dtype)
             return lax.dynamic_update_slice(v, probe, (0,)), w, acc + s
         return step
@@ -84,10 +84,39 @@ def main():
     t = timed(fft_step4, (vr, vi, acc0), K)
     report("fft-256 across branches (fourstep)", t, K)
 
-    # 3. full channelizer
+    # 3. full channelizer (now routed to the fused kernel on TPU)
     from pragma_dsp_tpu.ops.channelizer import pfb_channelize
     t = timed(chained(lambda z: pfb_channelize(z, C)), (xr, xi, acc0), K)
-    report("pfb_channelize full", t, K)
+    report("pfb_channelize full (fused)", t, K)
+
+    # 4. fused kernel directly at both precisions
+    from pragma_dsp_tpu.ops.pfb_pallas import pfb_channelize_pallas
+    hj = jnp.asarray(h, jnp.float32)
+    for prec in ("bf16x3", "highest"):
+        t = timed(chained(lambda z, _p=prec: pfb_channelize_pallas(
+            z, hj, C, precision=_p)), (xr, xi, acc0), K)
+        report(f"pfb fused {prec}", t, K)
+
+    # correctness on device
+    sub = ComplexArray(xr[:C * 64], xi[:C * 64])
+    ref = pfb_channelize_pallas(sub, hj, C, precision="highest")
+    zr = np.asarray(ref.real, np.float64) + 1j*np.asarray(ref.imag, np.float64)
+    import numpy as _np
+    xs = _np.asarray(sub.real, _np.float64) + 1j*_np.asarray(sub.imag, _np.float64)
+    xv = xs.reshape(-1, C)
+    hp = _np.asarray(h, _np.float64).reshape(-1, C)
+    T = hp.shape[0]
+    xp = _np.concatenate([_np.zeros((T-1, C)), xv], axis=0)
+    v = _np.zeros((xv.shape[0], C), complex)
+    for t_ in range(T):
+        v += xp[T-1-t_: T-1-t_+xv.shape[0]] * hp[t_]
+    gold = _np.fft.fft(v, axis=-1)
+    snr = 10*_np.log10((_np.abs(gold)**2).sum()/(_np.abs(zr-gold)**2).sum())
+    print(f"fused PFB highest SNR vs f64: {snr:.1f} dB", flush=True)
+    got3 = pfb_channelize_pallas(sub, hj, C, precision="bf16x3")
+    z3 = np.asarray(got3.real, np.float64) + 1j*np.asarray(got3.imag, np.float64)
+    snr3 = 10*_np.log10((_np.abs(gold)**2).sum()/(_np.abs(z3-gold)**2).sum())
+    print(f"fused PFB bf16x3 SNR vs f64: {snr3:.1f} dB", flush=True)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ from .demod import (
     iir_one_pole,
 )
 from .conv_pallas import circular_convolve_pallas
+from .pfb_pallas import pfb_channelize_pallas
 from .dispatch import (fft, get_fft_impl, get_fft_precision, ifft,
                        set_fft_impl, set_fft_precision)
 from .fft_fourstep import fft_fourstep, ifft_fourstep
@@ -50,6 +51,7 @@ __all__ = [
     "set_fft_precision",
     "get_fft_precision",
     "circular_convolve_pallas",
+    "pfb_channelize_pallas",
     "fft_fourstep",
     "rfft",
     "irfft",

@@ -101,6 +101,20 @@ def pfb_channelize(x, channels: int, taps=None,
         raise ValueError(
             f"input length {xc.real.shape[-1]} not a multiple of "
             f"channels={channels}")
+    from ..core.complex import is_power_of_two
+    from .dispatch import get_fft_impl
+
+    if (channels >= 128 and is_power_of_two(channels)
+            and jax.default_backend() == "tpu"
+            and xc.real.dtype == jnp.float32
+            and get_fft_impl() in ("auto", "pallas")):
+        # One fused kernel: branch filter -> cross-branch DFT ->
+        # natural channel order, a single HBM pass (ops/pfb_pallas.py)
+        # instead of branch-filter write + FFT read/write + relayout.
+        from .pfb_pallas import pfb_channelize_pallas
+
+        return pfb_channelize_pallas(xc, taps, channels,
+                                     precision=precision)
     vr, vi = _branch_filter(xc, taps, channels)
     # Analysis DFT across branches (forward kernel, unnormalised).
     return _fft(ComplexArray(vr, vi), axis=-1, precision=precision)

@@ -57,12 +57,18 @@ def _twiddle_grid(n: int, n2: int, n1: int, sign: float) -> Tuple[np.ndarray, np
 
 
 def _cmatmul(ar, ai, br_bi, preferred=jnp.float32):
-    """(ar + i*ai) @ (br + i*bi) with split planes -> 4 real matmuls."""
+    """(ar + i*ai) @ (br + i*bi) with split planes -> 4 real matmuls.
+
+    Pinned to HIGHEST: at DEFAULT the TPU MXU truncates f32 operands to
+    one bf16 pass (~54 dB — measured on v5e at n=128, where dispatch
+    routes small transforms here). The CPU x64 test tier could never see
+    that; an f32 TPU probe did."""
     br, bi = br_bi
-    rr = jnp.dot(ar, br, preferred_element_type=preferred)
-    ri = jnp.dot(ar, bi, preferred_element_type=preferred)
-    ir = jnp.dot(ai, br, preferred_element_type=preferred)
-    ii = jnp.dot(ai, bi, preferred_element_type=preferred)
+    hi = jax.lax.Precision.HIGHEST
+    rr = jnp.dot(ar, br, preferred_element_type=preferred, precision=hi)
+    ri = jnp.dot(ar, bi, preferred_element_type=preferred, precision=hi)
+    ir = jnp.dot(ai, br, preferred_element_type=preferred, precision=hi)
+    ii = jnp.dot(ai, bi, preferred_element_type=preferred, precision=hi)
     return rr - ii, ri + ir
 
 

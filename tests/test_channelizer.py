@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pragma_dsp_tpu.core import ComplexArray
 from pragma_dsp_tpu.ops.channelizer import (
@@ -93,7 +94,6 @@ def test_streaming_matches_batch():
 
 
 def test_rejects_misaligned_length():
-    import pytest
 
     with pytest.raises(ValueError):
         pfb_channelize(_ca(np.ones(100) + 0j), 16)
@@ -116,3 +116,90 @@ def test_channelizer_bf16x3_parity():
         set_fft_impl("auto")
     assert_snr(ref.real, np.asarray(got.real), 95, "pfb bf16x3 re")
     assert_snr(ref.imag, np.asarray(got.imag), 95, "pfb bf16x3 im")
+
+
+# ── fused single-pass PFB kernel (ops/pfb_pallas.py) ──
+
+
+def test_fused_pfb_matches_reference_impl():
+    """The fused kernel must equal the XLA-composed channelizer (same
+    convention: branch filter + forward analysis DFT, natural order)."""
+    from pragma_dsp_tpu.ops.pfb_pallas import pfb_channelize_pallas
+
+    rng = np.random.default_rng(5)
+    for c, tpb in [(128, 8), (256, 8), (256, 4), (512, 6)]:
+        L = c * 24
+        x = rng.standard_normal(L) + 1j * rng.standard_normal(L)
+        xc = ComplexArray(jnp.asarray(x.real, jnp.float32),
+                          jnp.asarray(x.imag, jnp.float32))
+        h = pfb_taps(c, tpb)
+        ref = pfb_channelize(xc, c, h)
+        got = pfb_channelize_pallas(xc, jnp.asarray(h, jnp.float32), c,
+                                    interpret=True, precision="highest")
+        assert got.real.shape == ref.real.shape
+        np.testing.assert_allclose(np.asarray(got.real),
+                                   np.asarray(ref.real), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.imag),
+                                   np.asarray(ref.imag), atol=1e-4)
+
+
+def test_fused_pfb_f64_convention():
+    """Direct check against the documented f64 convention (module
+    docstring formula), tighter than impl-vs-impl."""
+    from pragma_dsp_tpu.ops.pfb_pallas import pfb_channelize_pallas
+
+    rng = np.random.default_rng(6)
+    c, tpb = 256, 8
+    L = c * 40
+    x = rng.standard_normal(L) + 1j * rng.standard_normal(L)
+    h = pfb_taps(c, tpb)
+    xv = x.reshape(-1, c)
+    hp = h.reshape(tpb, c)
+    xp = np.concatenate([np.zeros((tpb - 1, c)), xv], axis=0)
+    v = np.zeros((xv.shape[0], c), complex)
+    for t in range(tpb):
+        v += xp[tpb - 1 - t: tpb - 1 - t + xv.shape[0]] * hp[t]
+    ref = np.fft.fft(v, axis=-1)
+    xc = ComplexArray(jnp.asarray(x.real, jnp.float32),
+                      jnp.asarray(x.imag, jnp.float32))
+    got = pfb_channelize_pallas(xc, jnp.asarray(h, jnp.float32), c,
+                                interpret=True, precision="highest")
+    z = np.asarray(got.real, np.float64) + 1j * np.asarray(got.imag,
+                                                           np.float64)
+    snr = 10 * np.log10((np.abs(ref) ** 2).sum()
+                        / (np.abs(z - ref) ** 2).sum())
+    assert snr > 125.0, f"SNR {snr:.1f} dB"
+
+
+def test_fused_pfb_bf16x3_snr():
+    from pragma_dsp_tpu.ops.pfb_pallas import pfb_channelize_pallas
+
+    rng = np.random.default_rng(7)
+    c, tpb = 256, 8
+    L = c * 40
+    x = rng.standard_normal(L) + 1j * rng.standard_normal(L)
+    h = pfb_taps(c, tpb)
+    ref = pfb_channelize(
+        ComplexArray(jnp.asarray(x.real), jnp.asarray(x.imag)), c, h)
+    zr = np.asarray(ref.real, np.float64) + 1j * np.asarray(ref.imag,
+                                                            np.float64)
+    got = pfb_channelize_pallas(
+        ComplexArray(jnp.asarray(x.real, jnp.float32),
+                     jnp.asarray(x.imag, jnp.float32)),
+        jnp.asarray(h, jnp.float32), c, interpret=True, precision="bf16x3")
+    z = np.asarray(got.real, np.float64) + 1j * np.asarray(got.imag,
+                                                           np.float64)
+    snr = 10 * np.log10((np.abs(zr) ** 2).sum()
+                        / (np.abs(z - zr) ** 2).sum())
+    assert snr > 105.0, f"SNR {snr:.1f} dB"
+
+
+def test_fused_pfb_rejects_bad_channels():
+    from pragma_dsp_tpu.ops.pfb_pallas import pfb_channelize_pallas
+
+    x = ComplexArray(jnp.zeros(1024, jnp.float32),
+                     jnp.zeros(1024, jnp.float32))
+    with pytest.raises(ValueError):
+        pfb_channelize_pallas(x, jnp.ones(64), 64, interpret=True)
+    with pytest.raises(ValueError):
+        pfb_channelize_pallas(x, jnp.ones(96 * 3), 96, interpret=True)
