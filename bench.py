@@ -47,7 +47,9 @@ def main() -> int:
 
     n = 1024
     batch = 16384 if backend == "tpu" else 256
-    k = 60 if backend == "tpu" else 3
+    # fori_loop compiles once regardless of trip count; the loop must
+    # dwarf the ~24 ms tunnel RTT to keep run-to-run noise under ~3%.
+    k = 250 if backend == "tpu" else 3
     samples = batch * n
 
     rng = np.random.default_rng(1337)

@@ -60,7 +60,11 @@ def main():
     big = backend == "tpu"
     B, N = (16384, 1024) if big else (256, 1024)
     S = B * N
-    K = 40 if big else 2
+    # fori_loop compiles its body once regardless of trip count, so large
+    # K costs only run time: every timed loop must dwarf the ~24 ms
+    # tunnel RTT or the subtraction is noise-dominated (short loops made
+    # fast rows swing +-30% between runs).
+    K = 150 if big else 2
     rng = np.random.default_rng(0)
     re_ = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
     im_ = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
@@ -205,10 +209,8 @@ def main():
                        dtype=jnp.float32)
     sig = re_.reshape(-1)[: 1 << 22] if big else re_.reshape(-1)
     acc0 = jnp.zeros((), jnp.float32)
-    # These pipelines now run in 0.13-0.5 ms/iter: the loop must dwarf
-    # the ~25 ms RTT or the subtraction is noise-dominated (a round-3
-    # rerun read "0.000 ms" for the resampler at 10 iterations).
-    k4 = max(K, 1)
+    # These pipelines run in 0.1-0.3 ms/iter: longer loops still.
+    k4 = max(2 * K, 1)
     # FIR overlap-save end-to-end traffic model (n=1024, o=128, hop=896,
     # r = n/hop): read x (4) + write frames (4r) + conv kernel in+out
     # (8r) + checksum reduction reads y (4r)
@@ -259,7 +261,11 @@ def main():
             "",
             f"Measured on `{specs['kind']}` (1 chip, remote tunnel; "
             f"RTT {rtt*1e3:.1f} ms subtracted; batch {B}x{N} f32 unless "
-            "noted; chained in-jit loops, same-shape kernels donated).",
+            "noted; chained in-jit loops, same-shape kernels donated). "
+            "HBM%/MXU% are against the spec-sheet peaks (819 GB/s, "
+            "197 bf16 TF/s); the measured streaming bandwidth of this "
+            "part is ~900 GB/s, so an HBM-bound row can read slightly "
+            "over 100%.",
             "",
             "| Kernel | Time/iter | Throughput | HBM % | MXU % | Notes |",
             "|---|---|---|---|---|---|",

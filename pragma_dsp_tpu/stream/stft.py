@@ -140,8 +140,28 @@ def spectrogram(x: Array, n_fft: int, hop: Optional[int] = None,
     """Spectrum-per-frame with the exact beginner-rung scaling and peak
     rules applied to every frame (batched spectrum over the frame axis).
 
-    For magnitude-only workloads prefer :func:`spectrogram_amplitude`
-    (fused single-kernel path)."""
+    On TPU the one-sided path runs the same fused amp+phase Pallas
+    kernel as the beginner rung (one HBM pass per frame batch instead of
+    FFT + hypot + atan2 + scaling); for magnitude-only workloads prefer
+    :func:`spectrogram_amplitude` (amplitude-only kernel, ~2x again)."""
+    from ..public.spectrum import _use_fused_one_sided
+
+    hop = hop if hop is not None else n_fft // 4
+    probe = jnp.asarray(x)
+    if _use_fused_one_sided(probe, n_fft, sides):
+        from ..ops.fft_pallas import spectrum_amp_phase_pallas
+
+        frames = frame_signal(probe, n_fft, hop)
+        amplitude, phase_bins = spectrum_amp_phase_pallas(
+            frames, n_fft, window)
+        freqs = bin_frequencies(n_fft, sample_rate, sides,
+                                dtype=amplitude.dtype)
+        peak = find_peak(amplitude, freqs)
+        peak_phase = jnp.take_along_axis(phase_bins, peak.index[..., None],
+                                         axis=-1)[..., 0]
+        peak = peak._replace(phase=peak_phase)
+        return SpectrumResult(frequencies=freqs, amplitude=amplitude,
+                              phase=phase_bins, peak=peak)
     spec = stft(x, n_fft, hop, window)
     mags = magnitude(spec)
     angs = phase(spec)
