@@ -9,8 +9,10 @@ pipeline in VMEM:
 
 * real frames (tb, n) stream in; the zero imaginary plane never exists;
 * forward/inverse row pipelines are the SHARED helpers from
-  fft_pallas.py (_fwd_rows / _inv_planes / _mk_mm — one dataflow, no
-  drift between the FFT and conv kernels);
+  fft_pallas.py (_fwd_rows_fused / _inv_planes_fused / _mk_mm_rows);
+  the four-step twiddles are FOLDED into per-row (256, 256) matrix
+  stacks at trace time (_fft_plan_fused_rows), so the MXU performs
+  them inside the same lane dot — no per-row VPU twiddle multiplies;
 * the filter spectrum H lives in VMEM as an (n2, 128) digit-permuted
   row table — the same permuted order the rows are produced in, so the
   pointwise complex multiply is two VPU FMAs per row, no reordering;
@@ -46,10 +48,10 @@ from ..core.complex import Array, is_power_of_two
 from .fft_pallas import (
     LANES,
     _const_spec,
-    _fft_plan,
-    _fwd_rows,
-    _inv_planes,
-    _mk_mm,
+    _fft_plan_fused_rows,
+    _fwd_rows_fused,
+    _inv_planes_fused,
+    _mk_mm_rows,
     _pad_batch,
     _pick_tile,
     _tuning,
@@ -61,33 +63,29 @@ __all__ = ["circular_convolve_pallas"]
 
 
 def _unpack_consts(refs, fast):
-    """(mmf, twc, tws, mmi, itwc, itws) from the fwd+inv plan consts."""
+    """(mmf, mmi) row-indexed closures from the twiddle-folded fwd+inv
+    per-row matrix stacks (_fft_plan_fused_rows)."""
     if fast:
-        mmf = _mk_mm(True, refs[0], refs[1])
-        twc_ref, tws_ref = refs[2], refs[3]
-        mmi = _mk_mm(True, refs[4], refs[5])
-        itwc_ref, itws_ref = refs[6], refs[7]
+        mmf = _mk_mm_rows(True, refs[0], refs[1])
+        mmi = _mk_mm_rows(True, refs[2], refs[3])
     else:
-        mmf = _mk_mm(False, refs[0])
-        twc_ref, tws_ref = refs[1], refs[2]
-        mmi = _mk_mm(False, refs[3])
-        itwc_ref, itws_ref = refs[4], refs[5]
-    return mmf, twc_ref, tws_ref, mmi, itwc_ref, itws_ref
+        mmf = _mk_mm_rows(False, refs[0])
+        mmi = _mk_mm_rows(False, refs[1])
+    return mmf, mmi
 
 
 def _osconv_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
     """(tb, n) real frames -> (tb, n) real circular convolution with H."""
     o_ref = refs[-1]
-    mmf, twc_ref, tws_ref, mmi, itwc_ref, itws_ref = _unpack_consts(
-        refs[:-1], fast)
+    mmf, mmi = _unpack_consts(refs[:-1], fast)
     L = LANES
     xs = [f_ref[:, L * s:L * (s + 1)].astype(jnp.float32) for s in range(n2)]
     rows = []
-    for u, zre, zim in _fwd_rows(xs, [None] * n2, mmf, twc_ref, tws_ref, n2):
+    for u, zre, zim in _fwd_rows_fused(xs, [None] * n2, mmf, n2):
         hr = hr_ref[u:u + 1, :]
         hi_ = hi_ref[u:u + 1, :]
         rows.append((u, zre * hr - zim * hi_, zre * hi_ + zim * hr))
-    xr, _ = _inv_planes(rows, mmi, itwc_ref, itws_ref, n2)
+    xr, _ = _inv_planes_fused(rows, mmi, n2)
     odt = o_ref.dtype
     for s_ in range(n2):
         o_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
@@ -98,19 +96,18 @@ def _osconv_pair_kernel(fa_ref, fb_ref, hr_ref, hi_ref, *refs, n, n2, fast):
     ifft(fft(z) * H) = conv(a, h) + i conv(b, h). One complex pipeline,
     two frames — half the MXU work per sample of the real kernel."""
     oa_ref, ob_ref = refs[-2], refs[-1]
-    mmf, twc_ref, tws_ref, mmi, itwc_ref, itws_ref = _unpack_consts(
-        refs[:-2], fast)
+    mmf, mmi = _unpack_consts(refs[:-2], fast)
     L = LANES
     xs_r = [fa_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
             for s in range(n2)]
     xs_i = [fb_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
             for s in range(n2)]
     rows = []
-    for u, zre, zim in _fwd_rows(xs_r, xs_i, mmf, twc_ref, tws_ref, n2):
+    for u, zre, zim in _fwd_rows_fused(xs_r, xs_i, mmf, n2):
         hr = hr_ref[u:u + 1, :]
         hi_ = hi_ref[u:u + 1, :]
         rows.append((u, zre * hr - zim * hi_, zre * hi_ + zim * hr))
-    xr, xi = _inv_planes(rows, mmi, itwc_ref, itws_ref, n2)
+    xr, xi = _inv_planes_fused(rows, mmi, n2)
     odt = oa_ref.dtype
     for s_ in range(n2):
         oa_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
@@ -125,8 +122,8 @@ def _osconv_2d(frames: Array, hre: Array, him: Array, n: int,
     batch = frames.shape[0]
     tb = _pick_tile(batch, n)            # 2 lane-dot planes in flight
     (frames,), padded = _pad_batch((frames,), batch, tb)
-    fwd = [jnp.asarray(c) for c in _fft_plan(n, False, precision)]
-    inv = [jnp.asarray(c) for c in _fft_plan(n, True, precision)]
+    fwd = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, False, precision)]
+    inv = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, True, precision)]
     consts = fwd + inv
     n2 = n // LANES
     kernel = functools.partial(_osconv_kernel, n=n, n2=n2,
@@ -159,8 +156,8 @@ def _osconv_pair_2d(fa: Array, fb: Array, hre: Array, him: Array, n: int,
     batch = fa.shape[0]
     tb = _pick_tile(batch, n)
     (fa, fb), padded = _pad_batch((fa, fb), batch, tb)
-    fwd = [jnp.asarray(c) for c in _fft_plan(n, False, precision)]
-    inv = [jnp.asarray(c) for c in _fft_plan(n, True, precision)]
+    fwd = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, False, precision)]
+    inv = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, True, precision)]
     consts = fwd + inv
     n2 = n // LANES
     kernel = functools.partial(_osconv_pair_kernel, n=n, n2=n2,

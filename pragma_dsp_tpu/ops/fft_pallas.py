@@ -149,6 +149,41 @@ def _df_dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def _fft_plan_fused_rows(n: int, inverse: bool,
+                         precision: str) -> Tuple[np.ndarray, ...]:
+    """Per-row lane-dot matrices with the four-step twiddle FOLDED in
+    (all f64 until the final cast): forward FFu[u] = T_u @ FF, inverse
+    GGu[u] = GG @ T_u, where T_u = [[diag(c_u), diag(s_u)],
+    [-diag(s_u), diag(c_u)]] is the twiddle as a block-diagonal rotation
+    acting on [re | im] lane concats. Kernels that run rows through
+    per-row matrices anyway (the fused convolution) then skip the VPU
+    twiddle multiplies entirely — the MXU does them for free inside the
+    same dot. bf16x3 returns the pre-split (hi, lo) stacks."""
+    assert n > LANES
+    sign = 1.0 if inverse else -1.0
+    fr, fi = _dft_matrix(LANES, sign)                    # f64 (128, 128)
+    if inverse:
+        fr = fr / n
+        fi = fi / n
+    ff = np.block([[fr, fi], [-fi, fr]])                 # f64 (256, 256)
+    n2 = n // LANES
+    u = np.arange(n2, dtype=np.float64)[:, None]
+    l = np.arange(LANES, dtype=np.float64)[None, :]
+    ang = sign * 2.0 * np.pi * u * l / n
+    c = np.cos(ang)
+    s = np.sin(ang)
+    stack = np.zeros((n2, 2 * LANES, 2 * LANES))
+    for uu in range(n2):
+        t = np.block([[np.diag(c[uu]), np.diag(s[uu])],
+                      [-np.diag(s[uu]), np.diag(c[uu])]])
+        stack[uu] = (ff @ t) if inverse else (t @ ff)
+    stack32 = stack.astype(np.float32)
+    if precision == "bf16x3":
+        return _np_bsplit(stack32)
+    return (stack32,)
+
+
 @functools.lru_cache(maxsize=64)
 def _fft_plan(n: int, inverse: bool, precision: str) -> Tuple[np.ndarray, ...]:
     """Trace-time constants for the plane-structured FFT kernels
@@ -205,6 +240,48 @@ def _mk_mm(fast: bool, h_ref, l_ref=None):
             m = h_ref[:] if rows is None else h_ref[:rows]
             return _hi_dot(cat, m)
     return mm
+
+
+def _mk_mm_rows(fast: bool, h_ref, l_ref=None):
+    """Row-indexed lane-dot closure over per-row matrix stacks
+    (n2, 2L, 2L) — the twiddle-folded variant of :func:`_mk_mm`."""
+    if fast:
+        def mm(cat, u, rows=None):
+            hi, lo = _bsplit(cat)
+            mh = h_ref[u] if rows is None else h_ref[u, :rows]
+            ml = l_ref[u] if rows is None else l_ref[u, :rows]
+            return _df_dot(hi, mh) + (_df_dot(hi, ml) + _df_dot(lo, mh))
+    else:
+        def mm(cat, u, rows=None):
+            m = h_ref[u] if rows is None else h_ref[u, :rows]
+            return _hi_dot(cat, m)
+    return mm
+
+
+def _fwd_rows_fused(xs_r, xs_i, mm_rows, n2):
+    """Forward four-step with the twiddle folded into per-row matrices
+    (_fft_plan_fused_rows): plane DFT_N2 -> per-row lane dot. Yields
+    (u, yre, yim) in permuted row order; None imaginary planes use the
+    top half of the row matrix."""
+    ar, ai = _plane_dft(xs_r, xs_i, -1.0)
+    for u in range(n2):
+        if ai[u] is None:
+            y = mm_rows(ar[u], u, rows=LANES)
+        else:
+            y = mm_rows(jnp.concatenate([ar[u], ai[u]], axis=1), u)
+        yield u, y[:, :LANES], y[:, LANES:]
+
+
+def _inv_planes_fused(rows, mm_rows, n2):
+    """Inverse four-step from permuted rows with the inverse twiddle
+    folded into the per-row matrices: lane dot -> plane DFT_N2 back to
+    natural time planes."""
+    br, bi = [], []
+    for u, pre, pim in rows:
+        w = mm_rows(jnp.concatenate([pre, pim], axis=1), u)
+        br.append(w[:, :LANES])
+        bi.append(w[:, LANES:])
+    return _plane_dft(br, bi, 1.0)
 
 
 def _fwd_rows(xs_r, xs_i, mm, twc_ref, tws_ref, n2):
