@@ -19,10 +19,15 @@ from helpers import parse_args, verified
 def main():
     args = parse_args(lambda p: p.add_argument(
         "--devices", default="1,2,4,8"))
-    if os.environ.get("JAX_PLATFORMS") != "tpu" and "--cpu" not in sys.argv:
-        # default to the virtual cpu mesh when not on a pod
-        os.environ.setdefault("XLA_FLAGS",
-                              "--xla_force_host_platform_device_count=8")
+    if os.environ.get("JAX_PLATFORMS") != "tpu":
+        # Not on a pod: ensure the 8-device virtual CPU mesh exists.
+        # (Round-3 fix: the flag was previously skipped under --cpu, so
+        # only D=1 ever ran; setdefault also no-opped when XLA_FLAGS was
+        # already set in the environment.)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
     import jax.numpy as jnp
     from jax import lax
