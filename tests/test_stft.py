@@ -106,3 +106,30 @@ def test_spectrogram_amplitude_fast_path_matches_full():
     full = spectrogram(jnp.asarray(x), 1024, 256, "hann", 48000.0)
     np.testing.assert_allclose(fast, np.asarray(full.amplitude),
                                rtol=0, atol=2e-6)
+
+
+def test_fused_spectrogram_path_equivalence():
+    """The TPU one-sided spectrogram routes through the fused amp+phase
+    kernel (stream/stft.py spectrogram): its outputs must equal the
+    generic stft-based path at config-2 scale (n_fft=4096, 75% overlap,
+    exercising the n2=32 row-pair packing) — verified here in interpret
+    mode by running the kernel on the same frames."""
+    from pragma_dsp_tpu.ops.fft_pallas import spectrum_amp_phase_pallas
+    from pragma_dsp_tpu.stream.stft import frame_signal, spectrogram
+
+    rng = np.random.default_rng(12)
+    n_fft, hop = 4096, 1024
+    x = (0.5 * np.sin(2 * np.pi * 1000.0 * np.arange(3 * n_fft) / 48000.0)
+         + 0.02 * rng.standard_normal(3 * n_fft)).astype(np.float32)
+    ref = spectrogram(jnp.asarray(x, jnp.float64), n_fft, hop, "hann",
+                      48000.0)
+    frames = frame_signal(jnp.asarray(x, jnp.float32), n_fft, hop)
+    amp, ph = spectrum_amp_phase_pallas(frames, n_fft, "hann",
+                                        interpret=True, precision="highest")
+    np.testing.assert_allclose(np.asarray(amp, np.float64),
+                               np.asarray(ref.amplitude, np.float64),
+                               atol=5e-6)
+    mask = np.asarray(ref.amplitude) > 1e-3
+    d = np.angle(np.exp(1j * (np.asarray(ph, np.float64)
+                              - np.asarray(ref.phase, np.float64))))[mask]
+    assert np.abs(d).max() < 1e-4
