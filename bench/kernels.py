@@ -221,6 +221,21 @@ def main():
            sig.shape[0], bytes_per_sample=fir_bytes,
            note="end-to-end incl. framing")
 
+    # config 2: 4096-pt 75%-overlap amplitude spectrogram. Traffic per
+    # input sample: read x (4) + frames write/read (16+16, the 4x
+    # overlap expansion) + one-sided amp write (4*2049/1024 ~= 8) +
+    # checksum read (8).
+    from pragma_dsp_tpu.stream.stft import spectrogram_amplitude
+
+    def sg_step(v, acc):
+        amp = spectrogram_amplitude(v, 4096, 1024, "hann")
+        s = jnp.sum(amp)
+        probe = v[:1] + s * jnp.asarray(1e-30, v.dtype)
+        return lax.dynamic_update_slice(v, probe, (0,)), acc + s
+    t = timed(sg_step, (sig, acc0), k4)
+    report("spectrogram 4096 75% ovl", t, k4, sig.shape[0],
+           bytes_per_sample=4 + 32 + 8 + 8, note="config 2, fused amp")
+
     # resampler: upfirdn banded matmul; traffic ~ in 4 + polyphase frame
     # materialisation (~2 passes over input) + out 4*(147/160) + the
     # checksum reduction reading the output once more
