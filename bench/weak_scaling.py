@@ -99,6 +99,23 @@ def main():
         print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
               f"eff {100*thr/(base*d):.0f}%)")
 
+    print("== 2-D (host, chip) mesh: config-5 PFB, channels over host ==")
+    if avail >= 8:
+        from pragma_dsp_tpu.parallel import make_mesh
+
+        mesh2 = make_mesh((2, 4), ("host", "chip"))
+        per_dev = c * (256 if on_tpu else 16)
+        z = rng.standard_normal(8 * per_dev).astype(np.float32)
+        zi = rng.standard_normal(8 * per_dev).astype(np.float32)
+        sh = NamedSharding(mesh2, P(("host", "chip")))
+        iq = ComplexArray(jax.device_put(jnp.asarray(z), sh),
+                          jax.device_put(jnp.asarray(zi), sh))
+        t = timed(lambda: sharded_pfb_channelize(
+            iq, c, mesh=mesh2, axis=("host", "chip"),
+            channels_sharded_out=True).real)
+        print(f"(2,4) mesh: {8 * per_dev / t / 1e6:9.1f} MS/s total "
+              "(halos on 'chip', corner turn over the joint axis)")
+
     print("== strong scaling: distributed FFT ==")
     n = (1 << 20) if on_tpu else (1 << 16)
     for d in dev_counts:

@@ -96,7 +96,10 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
             b = pr.shape[:-2]
             nb = len(b)
             # 1. local DFT+ over k1 with 1/N1 (full rows of the k2-shard).
-            o = _ifft(ComplexArray(pr, pi), axis=-1)
+            # donate: the permuted input planes die here; on the pallas
+            # path this avoids a full-array copy when the caller's loop
+            # carries the transform output.
+            o = _ifft(ComplexArray(pr, pi), axis=-1, donate=True)
             rr, ii = o.real, o.imag
             # 2. twiddle W^(+n1*k2) for this device's k2 rows.
             k2_off = jax.lax.axis_index(axis) * (n2 // d)
@@ -157,7 +160,7 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
                     b + (d * w, loc))
                 ar = a2a(sr, nb, nb + 1)       # -> (..., w, n1)
                 ai = a2a(si, nb, nb + 1)
-                oc = _fft(ComplexArray(ar, ai), axis=-1)
+                oc = _fft(ComplexArray(ar, ai), axis=-1, donate=True)
                 outs_r.append(oc.real)
                 outs_i.append(oc.imag)
             if chunks == 1:
