@@ -247,3 +247,31 @@ def test_precision_policy_resolution():
         set_fft_precision("auto")
     with _pytest.raises(ValueError):
         set_fft_precision("f16")
+
+
+def test_donated_roundtrip_chain_in_scan():
+    """The donated streaming contract under lax.scan: carry fft->ifft
+    roundtrips for several steps; donation must not corrupt the carry
+    (this is exactly the loop shape whose hidden carry copy motivated
+    input_output_aliases — see BASELINE.md measurement discipline)."""
+    from pragma_dsp_tpu.core.complex import ComplexArray
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        fft_pallas_permuted, ifft_pallas_from_permuted)
+
+    import jax
+
+    n = 1024
+    rng = np.random.default_rng(23)
+    re = jnp.asarray(rng.standard_normal((8, n)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((8, n)), jnp.float32)
+
+    def step(c, _):
+        p = fft_pallas_permuted(ComplexArray(c[0], c[1]), interpret=True,
+                                precision="highest", donate=True)
+        o = ifft_pallas_from_permuted(p, n, interpret=True,
+                                      precision="highest", donate=True)
+        return (o.real, o.imag), None
+
+    (orr, oii), _ = jax.lax.scan(step, (re, im), None, length=4)
+    np.testing.assert_allclose(np.asarray(orr), np.asarray(re), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(oii), np.asarray(im), atol=2e-4)
