@@ -266,6 +266,25 @@ def main():
            bytes_per_sample=8 + 8 + 8,
            note="fused kernel, 8 taps/branch")
 
+    # 1M-point FFT on one chip: the distributed four-step on a 1-device
+    # mesh ((1024,1024) view; local column FFT + twiddle + row pallas
+    # FFT). The north-star long-transform path measured on hardware.
+    if big:
+        from pragma_dsp_tpu.parallel import data_mesh, dist_fft, \
+            dist_fft_shape
+        mesh1 = data_mesh(1)
+        nbig = 1 << 20
+        nn2, nn1 = dist_fft_shape(nbig, 1)
+        zr = jnp.asarray(rng.standard_normal((nn2, nn1)), jnp.float32)
+        zi = jnp.asarray(rng.standard_normal((nn2, nn1)), jnp.float32)
+
+        def big_step(r, i):
+            o = dist_fft(ComplexArray(r, i), mesh1)
+            return o.real, o.imag
+        t = timed(big_step, (zr, zi), K)
+        report("1M-pt FFT (four-step, 1 chip)", t, K, nbig,
+               note="(1024,1024) view, SNR ~109 dB")
+
     print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} "
           f"GB/s  f32 {specs['f32_flops']/1e12:.0f} TF/s  "
           f"bf16 {specs['bf16_flops']/1e12:.0f} TF/s", flush=True)

@@ -65,8 +65,15 @@ def dist_fft_shape(n: int, n_devices: int) -> Tuple[int, int]:
 
 
 def _twiddles_fwd(n, n2, n1, sign, dtype):
+    """Twiddle tables as NUMPY arrays: _build_dist_fft's closure is
+    lru-cached, and a jnp constant materialised while tracing (e.g. the
+    first dist_fft call happening inside a user's jit) would be a
+    trace-local tracer that leaks into every later call
+    (UnexpectedTracerError). numpy values lift to fresh constants in
+    whichever trace uses them."""
     tc, ts = _twiddle_grid(n, n2, n1, sign)   # (k2, n1)
-    return jnp.asarray(tc, dtype), jnp.asarray(ts, dtype)
+    npdt = np.dtype(str(dtype))
+    return np.asarray(tc, npdt), np.asarray(ts, npdt)
 
 
 @functools.lru_cache(maxsize=128)

@@ -344,3 +344,37 @@ def test_dist_fft_rejects_bad_chunks(mesh):
     xc = ComplexArray(jnp.asarray(x), jnp.asarray(np.zeros_like(x)))
     with pytest.raises(ValueError, match="chunks"):
         dist_fft(xc, mesh, chunks=7)
+
+
+def test_dist_fft_first_called_inside_jit(mesh):
+    """Regression: the lru-cached shard_map builder used to materialise
+    its twiddle tables as jnp constants at build time — if the FIRST
+    dist_fft call happened inside a user's jit, those constants were
+    trace-local tracers that leaked into every later call
+    (UnexpectedTracerError). Clear the cache and trace-first-call."""
+    from pragma_dsp_tpu.parallel.dist_fft import _build_dist_fft
+
+    _build_dist_fft.cache_clear()
+    n = 1 << 12
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    xr = jnp.asarray(x.real.reshape(n2, n1))
+    xi = jnp.asarray(x.imag.reshape(n2, n1))
+
+    @jax.jit
+    def run(r, i):
+        def body(_, c):
+            o = dist_ifft(dist_fft(ComplexArray(c[0], c[1]), mesh), mesh)
+            return (o.real, o.imag)
+        return jax.lax.fori_loop(0, 2, body, (r, i))
+
+    orr, oii = run(xr, xi)
+    np.testing.assert_allclose(np.asarray(orr), x.real.reshape(n2, n1),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(oii), x.imag.reshape(n2, n1),
+                               atol=1e-9)
+    # and a fresh call OUTSIDE jit must still work (cache now warm)
+    p = dist_fft(ComplexArray(xr, xi), mesh)
+    got = permuted_to_natural_host(p)
+    assert snr_db(np.stack([np.fft.fft(x).real, np.fft.fft(x).imag]),
+                  np.stack([got.real, got.imag])) > 200
