@@ -28,6 +28,9 @@ from .fft_pallas import (
     ifft_pallas_from_permuted,
     spectrum_amplitude_pallas,
     spectrum_amp_phase_pallas,
+    framed_spectrum_amplitude_pallas,
+    framed_spectrum_amp_phase_pallas,
+    framed_spectrum_supported,
 )
 from .fir import FirState, fir_filter, fir_step, fir_stream_init, overlap_save_filter
 from .rfft import irfft, rfft
@@ -62,6 +65,9 @@ __all__ = [
     "ifft_pallas_from_permuted",
     "spectrum_amplitude_pallas",
     "spectrum_amp_phase_pallas",
+    "framed_spectrum_amplitude_pallas",
+    "framed_spectrum_amp_phase_pallas",
+    "framed_spectrum_supported",
     "FirState",
     "fir_filter",
     "fir_step",

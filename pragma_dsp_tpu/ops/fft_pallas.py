@@ -41,6 +41,7 @@ SURVEY.md §5 "sanitizer build" analogue.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -61,6 +62,9 @@ __all__ = [
     "natural_to_permuted",
     "spectrum_amplitude_pallas",
     "spectrum_amp_phase_pallas",
+    "framed_spectrum_amplitude_pallas",
+    "framed_spectrum_amp_phase_pallas",
+    "framed_spectrum_supported",
     "resolve_precision",
 ]
 
@@ -459,7 +463,7 @@ def _pad_batch(arrs, batch: int, tile: int):
 
 def _const_spec(arr):
     shape = arr.shape
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+    return pl.BlockSpec(shape, lambda *i: tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
 
 
@@ -837,13 +841,46 @@ def _spectrum_onesided_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast,
     With ``with_phase`` a second (tb, n//2+1) output carries
     atan2(im, re) per bin (the positive amplitude scaling folded into
     the matrices leaves phase unchanged), corner-turned the same way."""
+    xs = [x_ref[:, LANES * s:LANES * (s + 1)]
+          * win_ref[:, LANES * s:LANES * (s + 1)] for s in range(n2)]
+    _onesided_body(xs, p_ref, refs, n=n, n2=n2, fast=fast,
+                   with_phase=with_phase)
+
+
+def _stft_onesided_kernel(main_ref, halo_ref, win_ref, p_ref, *refs, n, n2,
+                          ratio, fast, with_phase):
+    """Framed variant of the one-sided kernel: reads the SIGNAL (as
+    hop-sample rows) instead of materialised frames, so a hop < n
+    spectrogram never pays the n/hop-fold frame expansion in HBM.
+
+    ``main_ref`` is a (tb, hop) row block (frame j of this block starts
+    at row j), ``halo_ref`` the first ``ratio = n//hop`` rows of the NEXT
+    block (both views of the same HBM rows array — XLA aliases them, so
+    the signal is read ~once). Frame j = rows j..j+ratio-1; the windowed
+    lane-tile planes are static sublane-shifted slices of the row concat,
+    then the dataflow is exactly the unfused kernel's."""
+    tb = main_ref.shape[0]
+    hop_l = (n // ratio) // LANES
+    rows_all = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)
+    xs = []
+    for s in range(n2):
+        t, c = divmod(s, hop_l)
+        xs.append(rows_all[t:t + tb, LANES * c:LANES * (c + 1)]
+                  * win_ref[:, LANES * s:LANES * (s + 1)])
+    _onesided_body(xs, p_ref, refs, n=n, n2=n2, fast=fast,
+                   with_phase=with_phase)
+
+
+def _onesided_body(xs, p_ref, refs, *, n, n2, fast, with_phase):
+    """Shared one-sided spectrum core: takes the windowed lane-tile
+    planes ``xs`` (list of (tb, 128) f32, real input) and writes the
+    natural-order amplitude (and optionally phase) output ref(s) at the
+    end of ``refs`` — see :func:`_spectrum_onesided_kernel`."""
     if with_phase:
         o_ref, oph_ref = refs[-2], refs[-1]
     else:
         o_ref = refs[-1]
     half = LANES // 2
-    xs = [x_ref[:, LANES * s:LANES * (s + 1)]
-          * win_ref[:, LANES * s:LANES * (s + 1)] for s in range(n2)]
     ar, ai = _plane_dft(xs, [None] * n2, -1.0)
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -987,6 +1024,142 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     if with_phase:
         return out[0][:batch], out[1][:batch]
     return out[:batch]
+
+
+def framed_spectrum_supported(n: int, hop: int, sides: str = "one") -> bool:
+    """True when the fused framed (signal-in, spectra-out) kernel covers
+    this (n, hop, sides): one-sided, power-of-two n > 128, hop a multiple
+    of the 128-lane tile that divides n."""
+    return (sides == "one" and n > LANES and is_power_of_two(n)
+            and hop % LANES == 0 and hop <= n and n % hop == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "hop", "window", "interpret",
+                                    "precision", "with_phase"))
+def _stft_amp_onesided(x: Array, n: int, hop: int, window: str,
+                       interpret: bool, precision: str = "highest",
+                       with_phase: bool = False):
+    """Fused framed one-sided spectrogram: [B, L] signal -> [B, F, bins]
+    amplitude (and optionally phase), F = 1 + (L - n)//hop.
+
+    The kernel reads the signal as hop-sample rows DIRECTLY (main block +
+    a ratio-row halo of the next block, both views of one HBM array), so
+    a 75%-overlap spectrogram pays ~1x signal read instead of the 4x
+    frame write + 4x frame read of frame-materialising paths — the HBM
+    floor drops from ~36 to ~12 bytes/input-sample at n=4096/hop=1024
+    (BASELINE.json config 2)."""
+    bsz, length = x.shape
+    if length < n:
+        raise ValueError(f"signal length {length} < frame size {n}")
+    ratio = n // hop
+    n2, n1 = _split(n)
+    n_frames = 1 + (length - n) // hop
+    tb0 = _pick_tile(n_frames, n,
+                     plane_budget=_tuning()["spectrum_plane_budget"])
+    step = ratio * 8 // math.gcd(ratio, 8)          # lcm(sublane 8, ratio)
+    tb = max(step, tb0 // step * step)
+    grid_f = -(-n_frames // tb)
+    padded_f = grid_f * tb
+    # One extra tile of zero rows per signal: covers the last block's
+    # halo AND keeps each signal's row span a tb multiple, so 2D index
+    # maps stay exact row-block arithmetic across the batch.
+    rows_per = padded_f + tb
+    xp = jnp.pad(x, ((0, 0), (0, rows_per * hop - length)))
+    rows = xp.reshape(bsz * rows_per, hop)
+    dt = x.dtype
+    win, pmat, mats = _onesided_plan(n, window, precision)
+    bins = n // 2 + 1
+    blocks_per = rows_per // tb
+    main_spec = pl.BlockSpec((tb, hop), lambda b, i: (b * blocks_per + i, 0),
+                             memory_space=pltpu.VMEM)
+    # Mosaic needs the sublane block dim divisible by 8, so the halo
+    # block is lcm(ratio, 8) rows (the kernel uses its first ratio-1);
+    # tb is a step multiple, so the block index stays exact.
+    halo_spec = pl.BlockSpec(
+        (step, hop),
+        lambda b, i: ((b * blocks_per + i + 1) * (tb // step), 0),
+        memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((tb, bins), lambda b, i: (b * grid_f + i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_stft_onesided_kernel, n=n, n2=n2,
+                               ratio=ratio, fast=(precision == "bf16x3"),
+                               with_phase=with_phase)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
+    consts = tuple(jnp.asarray(c) for c in (win, pmat) + mats)
+    out_shape = jax.ShapeDtypeStruct((bsz * padded_f, bins), dt)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, grid_f),
+        in_specs=[main_spec, halo_spec] + [_const_spec(c) for c in consts],
+        out_specs=[spec_out, spec_out] if with_phase else spec_out,
+        out_shape=[out_shape, out_shape] if with_phase else out_shape,
+        interpret=interpret,
+        **kw,
+    )(rows, rows, *consts)
+    if with_phase:
+        return (out[0].reshape(bsz, padded_f, bins)[:, :n_frames],
+                out[1].reshape(bsz, padded_f, bins)[:, :n_frames])
+    return out.reshape(bsz, padded_f, bins)[:, :n_frames]
+
+
+def framed_spectrum_amplitude_pallas(x, n: int, hop: int,
+                                     window: str = "rect",
+                                     interpret: Optional[bool] = None,
+                                     precision: Optional[str] = None
+                                     ) -> Array:
+    """Fused framed one-sided amplitude spectrogram of a real signal
+    [batch..., L] -> [batch..., F, n//2+1], F = 1 + (L - n)//hop.
+
+    Equivalent to framing (trailing samples dropped, reference
+    src/effect/index.ts:190-194 / stream.frame_signal) followed by
+    :func:`spectrum_amplitude_pallas` per frame with the one-sided
+    scaling law (src/public/spectrum.ts:45-61) — but the kernel reads
+    the signal once instead of materialising overlap-expanded frames.
+    Requires :func:`framed_spectrum_supported`(n, hop)."""
+    precision = resolve_precision(precision)
+    if not framed_spectrum_supported(n, hop):
+        raise ValueError(
+            f"framed spectrum needs one-sided pow-2 n > {LANES} with "
+            f"hop % {LANES} == 0 dividing n; got n={n}, hop={hop}")
+    if precision not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown precision {precision!r}")
+    interp = _use_interpret() if interpret is None else interpret
+    x = jnp.asarray(x)
+    shape = x.shape
+    amp = _stft_amp_onesided(x.reshape(-1, shape[-1]), n, hop, window,
+                             interp, precision)
+    return amp.reshape(shape[:-1] + amp.shape[-2:])
+
+
+def framed_spectrum_amp_phase_pallas(x, n: int, hop: int,
+                                     window: str = "rect",
+                                     interpret: Optional[bool] = None,
+                                     precision: Optional[str] = None
+                                     ) -> Tuple[Array, Array]:
+    """Fused framed one-sided amplitude AND phase spectrogram:
+    [batch..., L] -> ([batch..., F, bins], [batch..., F, bins]).
+
+    The amp+phase analogue of :func:`framed_spectrum_amplitude_pallas`
+    (phase = atan2(im, re) of the unnormalised FFT, bins [0..N/2],
+    reference src/public/spectrum.ts:129-131)."""
+    precision = resolve_precision(precision)
+    if not framed_spectrum_supported(n, hop):
+        raise ValueError(
+            f"framed spectrum needs one-sided pow-2 n > {LANES} with "
+            f"hop % {LANES} == 0 dividing n; got n={n}, hop={hop}")
+    if precision not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown precision {precision!r}")
+    interp = _use_interpret() if interpret is None else interpret
+    x = jnp.asarray(x)
+    shape = x.shape
+    amp, ph = _stft_amp_onesided(x.reshape(-1, shape[-1]), n, hop, window,
+                                 interp, precision, with_phase=True)
+    return (amp.reshape(shape[:-1] + amp.shape[-2:]),
+            ph.reshape(shape[:-1] + ph.shape[-2:]))
 
 
 def _spectrum_kernel(x_ref, win_ref, ff_ref, twc_ref, tws_ref, oamp_ref,

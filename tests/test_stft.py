@@ -108,6 +108,74 @@ def test_spectrogram_amplitude_fast_path_matches_full():
                                rtol=0, atol=2e-6)
 
 
+def test_framed_spectrum_kernel_matches_frame_path():
+    """The framed (signal-in) fused kernel must equal frame_signal +
+    per-frame spectrum kernel bit-for-bit: it reads the same samples
+    through halo'd row blocks instead of materialised frames
+    (reference framing semantics: src/effect/index.ts:190-194, trailing
+    samples dropped)."""
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        framed_spectrum_amp_phase_pallas, framed_spectrum_amplitude_pallas,
+        spectrum_amp_phase_pallas, spectrum_amplitude_pallas)
+
+    rng = np.random.default_rng(21)
+    for (n, hop, length, batch) in [(256, 128, 2000, 2), (512, 128, 4096, 1),
+                                    (512, 512, 2048, 2), (256, 256, 256, 1)]:
+        x = rng.standard_normal((batch, length)).astype(np.float32)
+        frames = frame_signal(jnp.asarray(x), n, hop)
+        amp_ref, ph_ref = spectrum_amp_phase_pallas(frames, n, "hann",
+                                                    interpret=True)
+        amp, ph = framed_spectrum_amp_phase_pallas(x, n, hop, "hann",
+                                                   interpret=True)
+        assert amp.shape == amp_ref.shape
+        np.testing.assert_allclose(np.asarray(amp), np.asarray(amp_ref),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ph), np.asarray(ph_ref),
+                                   rtol=0, atol=1e-5)
+        amp2 = framed_spectrum_amplitude_pallas(x, n, hop, "hann",
+                                                interpret=True)
+        ref2 = spectrum_amplitude_pallas(frames, n, "hann",
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(amp2), np.asarray(ref2),
+                                   rtol=0, atol=1e-6)
+
+
+def test_framed_spectrum_support_gate():
+    """Unsupported (n, hop) combos must raise, and the support predicate
+    must mirror the kernel's constraints (pow-2 n > 128, 128 | hop | n)."""
+    import pytest
+
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        framed_spectrum_amplitude_pallas, framed_spectrum_supported)
+
+    assert framed_spectrum_supported(1024, 256)
+    assert framed_spectrum_supported(4096, 1024)
+    assert not framed_spectrum_supported(1024, 100)   # hop % 128 != 0
+    assert not framed_spectrum_supported(1024, 384)   # hop !| n
+    assert not framed_spectrum_supported(128, 128)    # n == LANES
+    assert not framed_spectrum_supported(1000, 128)   # not pow-2
+    assert not framed_spectrum_supported(1024, 256, sides="two")
+    with pytest.raises(ValueError):
+        framed_spectrum_amplitude_pallas(
+            jnp.zeros(2048, jnp.float32), 1024, 100, interpret=True)
+    with pytest.raises(ValueError):
+        framed_spectrum_amplitude_pallas(
+            jnp.zeros(512, jnp.float32), 1024, 256, interpret=True)
+
+
+def test_spectrogram_amplitude_routes_framed():
+    """stream.spectrogram_amplitude auto-routes to the framed kernel when
+    supported; output must stay identical to the generic full path."""
+    from pragma_dsp_tpu.stream import spectrogram_amplitude
+
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal(4096).astype(np.float32)
+    fast = np.asarray(spectrogram_amplitude(jnp.asarray(x), 512, 128, "hann"))
+    full = spectrogram(jnp.asarray(x), 512, 128, "hann", 48000.0)
+    np.testing.assert_allclose(fast, np.asarray(full.amplitude),
+                               rtol=0, atol=2e-6)
+
+
 def test_fused_spectrogram_path_equivalence():
     """The TPU one-sided spectrogram routes through the fused amp+phase
     kernel (stream/stft.py spectrogram): its outputs must equal the
