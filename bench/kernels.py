@@ -245,6 +245,26 @@ def main():
            bytes_per_sample=4 + 8 + 8 * 147 / 160,
            note="upfirdn banded matmul")
 
+    # config 4: WBFM broadcast demod chain end-to-end (channel lowpass +
+    # decimate -> quadrature discriminator -> de-emphasis -> audio
+    # resample). Dominated by the channel-filter polyphase frames
+    # (w_frame/down ~ 2.2 input passes per plane); reported as MS/s of
+    # complex IQ without a roofline model (chain of 4 heterogeneous ops).
+    from pragma_dsp_tpu.models.fm_receiver import wbfm_demod
+
+    wb_re = re_.reshape(-1)[: 1 << 22] if big else re_.reshape(-1)
+    wb_im = im_.reshape(-1)[: wb_re.shape[0]] if big \
+        else re_.reshape(-1)[: wb_re.shape[0]]
+
+    def wbfm_step(v, w, acc):
+        audio = wbfm_demod(ComplexArray(v, w), iq_rate=2.4e6)
+        s = jnp.sum(audio)
+        probe = v[:1] + s * jnp.asarray(1e-30, v.dtype)
+        return lax.dynamic_update_slice(v, probe, (0,)), w, acc + s
+    t = timed(wbfm_step, (wb_re, wb_im, acc0), k4)
+    report(f"WBFM demod chain {wb_re.shape[0]/1e6:.1f}M IQ", t, k4,
+           wb_re.shape[0], note="config 4, IQ->audio end-to-end")
+
     c = 256
     iq_len = (sig.shape[0] // c) * c
     iq_re = sig[:iq_len]

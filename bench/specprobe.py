@@ -17,7 +17,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import pragma_dsp_tpu.ops.fft_pallas as fp
+import importlib
+
+# NB: both `from pragma_dsp_tpu.ops import fft_pallas` and
+# `import pragma_dsp_tpu.ops.fft_pallas as fp` resolve the NAME via
+# getattr on the ops package, which re-exports a FUNCTION called
+# fft_pallas that shadows the submodule — go through sys.modules.
+fp = importlib.import_module("pragma_dsp_tpu.ops.fft_pallas")
 
 N = 4096
 PREC = sys.argv[1] if len(sys.argv) > 1 else "highest"
@@ -69,7 +75,7 @@ def variant_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast, mode):
     else:
         amps = [jnp.sqrt(y[:, :half] * y[:, half:] + y[:, half:] * y[:, half:])
                 for y in ys]
-    if mode == "noturn":
+    if mode in ("noturn", "xlaturn"):
         for j in range(0, n2, 2):
             o_ref[:, half * j:half * (j + 2)] = jnp.concatenate(
                 [amps[j], amps[j + 1]], axis=1)
@@ -81,18 +87,38 @@ def variant_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast, mode):
     def src(rows, u, lo, hi_):
         return rows[u][:, lo:hi_]
 
-    for r in range(n2 * half // fp.LANES):
-        chunk = jnp.concatenate(
-            [src(amps, u, wdt * r, wdt * (r + 1)) for u in range(n2)],
-            axis=1)
-        h1f = fp._round_bf16_f32(chunk)
-        r1 = chunk - h1f
+    nchunk = n2 * half // fp.LANES
+    if mode == "batchturn":
+        # ONE sublane-stacked 3-pass dot for all chunks instead of
+        # 3*nchunk small dots: amortises MXU pipeline latency.
+        stacked = jnp.concatenate(
+            [jnp.concatenate(
+                [src(amps, u, wdt * r, wdt * (r + 1)) for u in range(n2)],
+                axis=1) for r in range(nchunk)], axis=0)
+        h1f = fp._round_bf16_f32(stacked)
+        r1 = stacked - h1f
         h2f = fp._round_bf16_f32(r1)
         h1 = h1f.astype(jnp.bfloat16)
         h2 = h2f.astype(jnp.bfloat16)
         h3 = (r1 - h2f).astype(jnp.bfloat16)
         nat = dot(h1, p) + (dot(h2, p) + dot(h3, p))
-        o_ref[:, fp.LANES * r:fp.LANES * (r + 1)] = nat
+        tb = amps[0].shape[0]
+        for r in range(nchunk):
+            o_ref[:, fp.LANES * r:fp.LANES * (r + 1)] = \
+                nat[tb * r:tb * (r + 1)]
+    else:
+        for r in range(nchunk):
+            chunk = jnp.concatenate(
+                [src(amps, u, wdt * r, wdt * (r + 1)) for u in range(n2)],
+                axis=1)
+            h1f = fp._round_bf16_f32(chunk)
+            r1 = chunk - h1f
+            h2f = fp._round_bf16_f32(r1)
+            h1 = h1f.astype(jnp.bfloat16)
+            h2 = h2f.astype(jnp.bfloat16)
+            h3 = (r1 - h2f).astype(jnp.bfloat16)
+            nat = dot(h1, p) + (dot(h2, p) + dot(h3, p))
+            o_ref[:, fp.LANES * r:fp.LANES * (r + 1)] = nat
     lane = jax.lax.broadcasted_iota(jnp.int32, ar[0].shape, 1)
     alt = jnp.where(lane % 2 == 0, 1.0, -1.0).astype(ar[0].dtype)
     nys = jnp.sum(ar[0] * alt, axis=-1, keepdims=True)
@@ -124,7 +150,18 @@ def run_variant(x, n, mode, precision, tbo=0):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=fp._tuning()["vmem_limit_bytes"]),
     )(x2, *consts)
-    return out[:batch]
+    out = out[:batch]
+    if mode == "xlaturn":
+        # Permuted pair-packed kernel output -> natural order via ONE
+        # XLA transpose pass; optimization_barrier forces the reorder to
+        # materialise (a fused consumer would elide it — free in real
+        # pipelines, but here we price the standalone natural product).
+        half = fp.LANES // 2
+        body = out[:, :n // 2].reshape(batch, n2 // 2, 2, half)
+        nat = body.transpose(0, 3, 1, 2).reshape(batch, n // 2)
+        out = jax.lax.optimization_barrier(
+            jnp.concatenate([nat, out[:, n // 2:]], axis=1))
+    return out
 
 
 def timed(step, args, k):
@@ -160,7 +197,7 @@ def main():
         return step
 
     S = frames.shape[0] * N
-    for mode in ("full", "noturn", "noplane", "nodots", "nosqrt"):
+    for mode in ("full", "batchturn", "xlaturn"):
         t = timed(mk(lambda v, _m=mode: run_variant(v, N, _m, PREC, TB)),
                   (frames, acc0), K)
         per = (t - rtt) / K

@@ -33,6 +33,20 @@ def test_upfirdn_matches_scipy(up, down):
     assert_snr(ref, got, 120, f"upfirdn {up}/{down}")
 
 
+@pytest.mark.parametrize("up,down", [(3, 2), (147, 160)])
+def test_upfirdn_bf16x3_snr(up, down):
+    """The TPU-default bf16x3 banded matmul (3 DEFAULT bf16 passes on
+    hi/lo-split operands) must stay >=100 dB of the f64 scipy golden —
+    the same production gate the FFT kernels carry."""
+    x = RNG.standard_normal(4000)
+    h = sps.firwin(127, min(1.0 / up, 1.0 / down) * 0.9)
+    ref = sps.upfirdn(h, x, up, down)
+    got = np.asarray(upfirdn(jnp.asarray(x, jnp.float32), jnp.asarray(h),
+                             up, down, precision="bf16x3"))
+    assert got.shape == ref.shape
+    assert_snr(ref, got, 100, f"upfirdn bf16x3 {up}/{down}")
+
+
 def test_upfirdn_complex():
     z = RNG.standard_normal(1000) + 1j * RNG.standard_normal(1000)
     h = sps.firwin(63, 0.2)
