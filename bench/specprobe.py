@@ -25,9 +25,9 @@ import importlib
 # fft_pallas that shadows the submodule — go through sys.modules.
 fp = importlib.import_module("pragma_dsp_tpu.ops.fft_pallas")
 
-N = 4096
 PREC = sys.argv[1] if len(sys.argv) > 1 else "highest"
 TB = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 
 
 def variant_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast, mode):
@@ -181,7 +181,8 @@ def timed(step, args, k):
 
 def main():
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((4096, N)), jnp.float32)
+    frames = jnp.asarray(rng.standard_normal(((1 << 24) // N, N)),
+                         jnp.float32)
     K = 150
 
     rtt = timed(lambda v: (v * 1.000001,), (jnp.ones((8, 128)),), 400)

@@ -649,19 +649,26 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
 #   W_N^{lu} W_128^{lv} * scale), so each row is 1-2 MXU dots of
 #   (tb,128)@(128,128) at full 128-column MXU width. Rows with a zero
 #   imaginary plane (u = 0, N2/2 for real input) skip the MB dot.
-# * the digit-permuted -> natural corner turn rides the MXU *inside*
-#   the kernel: a one-hot permutation matrix is EXACT in bf16, and a
-#   3-way hi/lo split of the amplitudes (3 x 8 mantissa bits = f32
-#   exact) makes the permutation dot bit-faithful. Per output chunk of
-#   128 bins, the n2 source sub-slices amp_u[:, W*r : W*(r+1)]
-#   (W = 128/n2) lane-concat to (tb, 128) and one shared (128, 128)
-#   one-hot matrix scatters them to natural order — 4x fewer MACs than
-#   a dense (512, 512) permutation, and no XLA relayout pass at all
-#   (Mosaic cannot express the sublane<->lane merge; XLA's
-#   reshape/transpose/concat chain costs ~0.25 ms in separate passes).
+# * the digit-permuted -> natural corner turn is n2-dependent
+#   (_turn_strategy). n2 <= 16: it rides the MXU *inside* the kernel — a
+#   one-hot permutation matrix is EXACT in bf16, and a 3-way hi/lo
+#   split of the amplitudes (3 x 8 mantissa bits = f32 exact) makes the
+#   permutation dot bit-faithful. Per output chunk of 128 bins, the n2
+#   source sub-slices amp_u[:, W*r : W*(r+1)] (W = 128/n2) lane-concat
+#   to (tb, 128) and one shared (128, 128) one-hot matrix scatters them
+#   to natural order — no XLA relayout pass at all (at n=1024 XLA's
+#   reshape/transpose/concat chain costs ~0.25 ms in separate passes
+#   while the kernel is HBM-bound with VPU headroom to hide the concats;
+#   n=2048 also measured faster in-kernel, 0.387 vs 0.445 ms). n2 >= 32: the W-lane slivers turn the chunk concat into
+#   the kernel's dominant cost (measured 0.34 of 0.68 ms at n=4096), so
+#   the kernel writes permuted pair-packed rows (aligned stores only)
+#   and ONE XLA transpose outside restores natural order
+#   (_permuted_pairs_to_natural) — 0.68 -> 0.45 ms at n=4096, and the
+#   transpose fuses away entirely into elementwise consumers.
 # * the Nyquist bin (u=0, v=64) is a lane reduction of the real u=0
-#   plane against (−1)^l, stored into the last output lane — the kernel
-#   emits the COMPLETE natural-order (batch, n//2+1) product.
+#   plane against (−1)^l, stored into the last output lane — the
+#   (batch, n//2+1) product is COMPLETE (natural order directly from
+#   the kernel for n2 <= 8, after the transpose epilogue otherwise).
 #
 # precision="bf16x3": the fused-matrix dots run as three DEFAULT bf16
 # passes on hi/lo-split operands (constants pre-split at trace time),
@@ -834,21 +841,22 @@ def _atan2_poly(y, x):
 
 
 def _spectrum_onesided_kernel(x_ref, win_ref, p_ref, *refs, n, n2, fast,
-                              with_phase):
+                              with_phase, turn):
     """window -> plane DFT_N2 -> per-row fused twiddle+DFT_128 MXU dots
-    -> one-hot MXU corner turn -> complete (tb, n//2+1) product(s).
+    -> corner turn -> complete (tb, n//2+1) product(s).
 
     With ``with_phase`` a second (tb, n//2+1) output carries
     atan2(im, re) per bin (the positive amplitude scaling folded into
-    the matrices leaves phase unchanged), corner-turned the same way."""
+    the matrices leaves phase unchanged), corner-turned the same way.
+    ``turn`` picks the natural-order strategy — see _onesided_body."""
     xs = [x_ref[:, LANES * s:LANES * (s + 1)]
           * win_ref[:, LANES * s:LANES * (s + 1)] for s in range(n2)]
     _onesided_body(xs, p_ref, refs, n=n, n2=n2, fast=fast,
-                   with_phase=with_phase)
+                   with_phase=with_phase, turn=turn)
 
 
 def _stft_onesided_kernel(main_ref, halo_ref, win_ref, p_ref, *refs, n, n2,
-                          ratio, fast, with_phase):
+                          ratio, fast, with_phase, turn):
     """Framed variant of the one-sided kernel: reads the SIGNAL (as
     hop-sample rows) instead of materialised frames, so a hop < n
     spectrogram never pays the n/hop-fold frame expansion in HBM.
@@ -868,14 +876,42 @@ def _stft_onesided_kernel(main_ref, halo_ref, win_ref, p_ref, *refs, n, n2,
         xs.append(rows_all[t:t + tb, LANES * c:LANES * (c + 1)]
                   * win_ref[:, LANES * s:LANES * (s + 1)])
     _onesided_body(xs, p_ref, refs, n=n, n2=n2, fast=fast,
-                   with_phase=with_phase)
+                   with_phase=with_phase, turn=turn)
 
 
-def _onesided_body(xs, p_ref, refs, *, n, n2, fast, with_phase):
+def _turn_strategy(n2: int) -> str:
+    """Natural-order corner-turn strategy by plane count.
+
+    "kernel": one-hot MXU scatter inside the kernel (zero XLA passes) —
+    wins while the per-chunk lane slices are >= 8 lanes wide (n2 <= 16,
+    n <= 2048: measured 0.387 vs 0.445 ms at n=2048). "xla": the kernel
+    writes PERMUTED pair-packed rows (column 64*u + w = bin n2*w + u)
+    and one XLA transpose outside produces natural order — at n2 >= 32
+    the in-kernel turn degrades into n2-piece concats of (128/n2)-lane
+    slivers per 128-bin chunk (measured 0.684 -> 0.452 ms at n=4096,
+    bench/specprobe.py), while the XLA pass stays one read+write of the
+    half-size output and fuses into elementwise consumers entirely."""
+    return "kernel" if n2 <= 16 else "xla"
+
+
+def _permuted_pairs_to_natural(out, n: int):
+    """Reorder the kernel's permuted pair-packed one-sided product
+    (column 64*u + w for bins v = n2*w + u, Nyquist passthrough at
+    column n//2) into natural bin order — the turn="xla" epilogue."""
+    n2 = n // LANES
+    half = LANES // 2
+    lead = out.shape[:-1]
+    nat = jnp.swapaxes(out[..., :n // 2].reshape(lead + (n2, half)),
+                       -1, -2).reshape(lead + (n // 2,))
+    return jnp.concatenate([nat, out[..., n // 2:]], axis=-1)
+
+
+def _onesided_body(xs, p_ref, refs, *, n, n2, fast, with_phase, turn):
     """Shared one-sided spectrum core: takes the windowed lane-tile
     planes ``xs`` (list of (tb, 128) f32, real input) and writes the
-    natural-order amplitude (and optionally phase) output ref(s) at the
-    end of ``refs`` — see :func:`_spectrum_onesided_kernel`."""
+    amplitude (and optionally phase) output ref(s) at the end of
+    ``refs`` — natural order for turn="kernel", permuted pair-packed
+    rows for turn="xla" (see :func:`_turn_strategy`)."""
     if with_phase:
         o_ref, oph_ref = refs[-2], refs[-1]
     else:
@@ -937,31 +973,46 @@ def _onesided_body(xs, p_ref, refs, *, n, n2, fast, with_phase):
         def src(rows, u, lo, hi_):
             return rows[u][:, lo:hi_]
 
-    # Corner turn on the MXU: per 128-bin chunk, lane-concat the n2
-    # source sub-slices and scatter with the shared one-hot matrix. A
-    # 3-way hi/lo/lo2 split (24 mantissa bits) keeps it f32-exact.
-    p = p_ref[:]
-    wdt = LANES // n2
+    if turn == "xla":
+        # Write PERMUTED pair-packed rows (column 64*u + w); the
+        # _permuted_pairs_to_natural epilogue outside the kernel
+        # restores natural order in one XLA transpose (or fuses away
+        # into the consumer). All writes are 64/128-lane aligned.
+        if with_phase:
+            for j in range(n2 // 2):
+                o_ref[:, LANES * j:LANES * (j + 1)] = amps[j]
+                oph_ref[:, LANES * j:LANES * (j + 1)] = phases[j]
+        else:
+            for j in range(0, n2, 2):
+                o_ref[:, half * j:half * (j + 2)] = jnp.concatenate(
+                    [amps[j], amps[j + 1]], axis=1)
+    else:
+        # Corner turn on the MXU: per 128-bin chunk, lane-concat the n2
+        # source sub-slices and scatter with the shared one-hot matrix. A
+        # 3-way hi/lo/lo2 split (24 mantissa bits) keeps it f32-exact.
+        p = p_ref[:]
+        wdt = LANES // n2
 
-    def turn(rows, out_ref):
-        for r in range(n2 * half // LANES):
-            chunk = jnp.concatenate(
-                [src(rows, u, wdt * r, wdt * (r + 1)) for u in range(n2)],
-                axis=1)
-            # 3-way split on the explicit bf16 grid (see _round_bf16_f32
-            # for why astype-pair splitting is NOT safe under XLA).
-            h1f = _round_bf16_f32(chunk)
-            r1 = chunk - h1f
-            h2f = _round_bf16_f32(r1)
-            h1 = h1f.astype(jnp.bfloat16)
-            h2 = h2f.astype(jnp.bfloat16)
-            h3 = (r1 - h2f).astype(jnp.bfloat16)
-            nat = dot(h1, p) + (dot(h2, p) + dot(h3, p))
-            out_ref[:, LANES * r:LANES * (r + 1)] = nat
+        def mxu_turn(rows, out_ref):
+            for r in range(n2 * half // LANES):
+                chunk = jnp.concatenate(
+                    [src(rows, u, wdt * r, wdt * (r + 1))
+                     for u in range(n2)], axis=1)
+                # 3-way split on the explicit bf16 grid (see
+                # _round_bf16_f32 for why astype-pair splitting is NOT
+                # safe under XLA).
+                h1f = _round_bf16_f32(chunk)
+                r1 = chunk - h1f
+                h2f = _round_bf16_f32(r1)
+                h1 = h1f.astype(jnp.bfloat16)
+                h2 = h2f.astype(jnp.bfloat16)
+                h3 = (r1 - h2f).astype(jnp.bfloat16)
+                nat = dot(h1, p) + (dot(h2, p) + dot(h3, p))
+                out_ref[:, LANES * r:LANES * (r + 1)] = nat
 
-    turn(amps, o_ref)
-    if with_phase:
-        turn(phases, oph_ref)
+        mxu_turn(amps, o_ref)
+        if with_phase:
+            mxu_turn(phases, oph_ref)
     # Nyquist bin (u=0, v=64): A_0 is real; F[l, 64] = (−1)^l, tw = 1.
     lane = jax.lax.broadcasted_iota(jnp.int32, ar[0].shape, 1)
     alt = jnp.where(lane % 2 == 0, 1.0, -1.0).astype(ar[0].dtype)
@@ -985,8 +1036,9 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     Scaling matches the reference one-sided law (src/public/spectrum.ts:45-61):
     DC and Nyquist ÷N, all other bins ×2/N. precision="bf16x3" runs the
     fused matrices as split-bf16 MXU dots (SNR ~112 dB, ~2x throughput).
-    The complete natural-order product is written by the kernel itself —
-    no XLA passes outside the pallas_call. with_phase adds a second
+    Natural order comes straight from the kernel for n <= 2048 and via
+    one fusable XLA transpose above that (_turn_strategy). with_phase
+    adds a second
     output with atan2(im, re) per bin (reference one-sided phase slice,
     spectrum.ts:129-131) from the same FFT — the beginner rung pays one
     kernel, not FFT + hypot + atan2 + scaling HBM passes.
@@ -1002,9 +1054,10 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     spec_in = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((tb, bins), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    turn = _turn_strategy(n2)
     kernel = functools.partial(_spectrum_onesided_kernel, n=n, n2=n2,
                                fast=(precision == "bf16x3"),
-                               with_phase=with_phase)
+                               with_phase=with_phase, turn=turn)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -1022,8 +1075,13 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
         **kw,
     )(x2, *consts)
     if with_phase:
-        return out[0][:batch], out[1][:batch]
-    return out[:batch]
+        amp, ph = out[0][:batch], out[1][:batch]
+        if turn == "xla":
+            amp = _permuted_pairs_to_natural(amp, n)
+            ph = _permuted_pairs_to_natural(ph, n)
+        return amp, ph
+    out = out[:batch]
+    return _permuted_pairs_to_natural(out, n) if turn == "xla" else out
 
 
 def framed_spectrum_supported(n: int, hop: int, sides: str = "one") -> bool:
@@ -1048,7 +1106,13 @@ def _stft_amp_onesided(x: Array, n: int, hop: int, window: str,
     a 75%-overlap spectrogram pays ~1x signal read instead of the 4x
     frame write + 4x frame read of frame-materialising paths — the HBM
     floor drops from ~36 to ~12 bytes/input-sample at n=4096/hop=1024
-    (BASELINE.json config 2)."""
+    (BASELINE.json config 2). Measured on v5e it runs slightly SLOWER
+    than the frame-materialising path when the frames fit in HBM
+    (0.41 vs 0.35 ms at config 2: XLA overlaps the framing pass with
+    the kernel, while this kernel pays in-VMEM sublane shifts per
+    plane), so stream.spectrogram_amplitude auto-selects it only when
+    the n/hop-fold frame allocation would be the binding constraint —
+    HBM capacity, not bandwidth, is what it buys."""
     bsz, length = x.shape
     if length < n:
         raise ValueError(f"signal length {length} < frame size {n}")
@@ -1082,9 +1146,10 @@ def _stft_amp_onesided(x: Array, n: int, hop: int, window: str,
         memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((tb, bins), lambda b, i: (b * grid_f + i, 0),
                             memory_space=pltpu.VMEM)
+    turn = _turn_strategy(n2)
     kernel = functools.partial(_stft_onesided_kernel, n=n, n2=n2,
                                ratio=ratio, fast=(precision == "bf16x3"),
-                               with_phase=with_phase)
+                               with_phase=with_phase, turn=turn)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -1100,10 +1165,13 @@ def _stft_amp_onesided(x: Array, n: int, hop: int, window: str,
         interpret=interpret,
         **kw,
     )(rows, rows, *consts)
+
+    def fin(o):
+        o = o.reshape(bsz, padded_f, bins)[:, :n_frames]
+        return _permuted_pairs_to_natural(o, n) if turn == "xla" else o
     if with_phase:
-        return (out[0].reshape(bsz, padded_f, bins)[:, :n_frames],
-                out[1].reshape(bsz, padded_f, bins)[:, :n_frames])
-    return out.reshape(bsz, padded_f, bins)[:, :n_frames]
+        return fin(out[0]), fin(out[1])
+    return fin(out)
 
 
 def framed_spectrum_amplitude_pallas(x, n: int, hop: int,

@@ -117,20 +117,52 @@ def istft(spec: ComplexArray, hop: int, window: str = "hann",
     return sig
 
 
+# Above this many bytes of materialised overlap-expanded frames, the
+# spectrogram paths switch to the framed (signal-in) kernel: it is
+# measured slightly slower on v5e when frames fit (0.41 vs 0.35 ms at
+# config 2 — XLA's framing pass overlaps with the kernel while the
+# framed kernel pays in-VMEM sublane shifts), but it never allocates
+# the n/hop-fold frame expansion, which is what bounds how long a
+# signal one chip can process.
+_FRAMED_BYTES_THRESHOLD = 1 << 30
+
+
+def _use_framed(x, n_fft: int, hop: int, sides: str, framed) -> bool:
+    from ..ops.fft_pallas import framed_spectrum_supported
+
+    if not framed_spectrum_supported(n_fft, hop, sides):
+        if framed:
+            raise ValueError(
+                f"framed spectrogram kernel needs one-sided pow-2 "
+                f"n_fft > 128 with hop % 128 == 0 dividing n_fft; got "
+                f"n_fft={n_fft}, hop={hop}, sides={sides!r}")
+        return False
+    if framed is not None:
+        return framed
+    frames_bytes = (x.size // hop) * n_fft * x.dtype.itemsize
+    return frames_bytes > _FRAMED_BYTES_THRESHOLD
+
+
 def spectrogram_amplitude(x: Array, n_fft: int, hop: Optional[int] = None,
-                          window: str = "hann", sides: str = "one") -> Array:
+                          window: str = "hann", sides: str = "one",
+                          framed: Optional[bool] = None) -> Array:
     """Amplitude-only spectrogram on the fused fast path.
 
-    Skips phase/peak bookkeeping and runs the whole
-    framing -> window -> FFT -> |X| -> scaling pipeline as ONE Pallas
-    kernel (ops.framed_spectrum_amplitude_pallas) — the high-throughput
-    choice when only magnitudes are needed (waterfalls, detectors). The
-    framed kernel reads the SIGNAL, not materialised frames, so a 75%
-    overlap costs ~1x signal HBM traffic instead of 9x. Scaling matches
-    spectrum() exactly. Returns [..., F, bins].
+    Skips phase/peak bookkeeping and runs framing -> window -> FFT ->
+    |X| -> scaling through the fused Pallas spectrum kernel — the
+    high-throughput choice when only magnitudes are needed (waterfalls,
+    detectors). Scaling matches spectrum() exactly. Returns
+    [..., F, bins].
+
+    ``framed`` picks the kernel input layout: False materialises
+    overlap-expanded frames (fastest when they fit — XLA's framing pass
+    overlaps with the kernel), True feeds the SIGNAL to the framed
+    kernel (ops.framed_spectrum_amplitude_pallas; ~1x signal HBM
+    traffic and no n/hop-fold frame allocation), None (default)
+    auto-selects framed only when the frame expansion would exceed
+    _FRAMED_BYTES_THRESHOLD. Both paths are bit-identical.
     """
     from ..ops.fft_pallas import (framed_spectrum_amplitude_pallas,
-                                  framed_spectrum_supported,
                                   spectrum_amplitude_pallas)
 
     hop = hop if hop is not None else n_fft // 4
@@ -138,7 +170,7 @@ def spectrogram_amplitude(x: Array, n_fft: int, hop: Optional[int] = None,
     if x.shape[-1] < n_fft:
         raise ValueError(
             f"signal length {x.shape[-1]} < frame_size {n_fft}")
-    if framed_spectrum_supported(n_fft, hop, sides):
+    if _use_framed(x, n_fft, hop, sides, framed):
         return framed_spectrum_amplitude_pallas(x, n_fft, hop, window)
     frames = frame_signal(x, n_fft, hop)
     return spectrum_amplitude_pallas(frames, n_fft, window, sides)
@@ -146,24 +178,25 @@ def spectrogram_amplitude(x: Array, n_fft: int, hop: Optional[int] = None,
 
 def spectrogram(x: Array, n_fft: int, hop: Optional[int] = None,
                 window: str = "hann", sample_rate: float = 1.0,
-                sides: str = "one") -> SpectrumResult:
+                sides: str = "one",
+                framed: Optional[bool] = None) -> SpectrumResult:
     """Spectrum-per-frame with the exact beginner-rung scaling and peak
     rules applied to every frame (batched spectrum over the frame axis).
 
     On TPU the one-sided path runs the same fused amp+phase Pallas
     kernel as the beginner rung (one HBM pass per frame batch instead of
     FFT + hypot + atan2 + scaling); for magnitude-only workloads prefer
-    :func:`spectrogram_amplitude` (amplitude-only kernel, ~2x again)."""
+    :func:`spectrogram_amplitude` (amplitude-only kernel, ~2x again).
+    ``framed`` as in :func:`spectrogram_amplitude`."""
     from ..public.spectrum import _use_fused_one_sided
 
     hop = hop if hop is not None else n_fft // 4
     probe = jnp.asarray(x)
     if _use_fused_one_sided(probe, n_fft, sides):
         from ..ops.fft_pallas import (framed_spectrum_amp_phase_pallas,
-                                      framed_spectrum_supported,
                                       spectrum_amp_phase_pallas)
 
-        if framed_spectrum_supported(n_fft, hop, sides):
+        if _use_framed(probe, n_fft, hop, sides, framed):
             amplitude, phase_bins = framed_spectrum_amp_phase_pallas(
                 probe, n_fft, hop, window)
         else:

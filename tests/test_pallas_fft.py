@@ -97,6 +97,23 @@ def test_fused_spectrum_amplitude_matches_reference_scaling():
         assert snr_db(ref, amp) > 110
 
 
+def test_fused_spectrum_xla_turn_matches_reference_scaling():
+    """n = 4096 drives the turn="xla" strategy (permuted pair-packed
+    kernel output + one XLA transpose epilogue, _turn_strategy): every
+    bin incl. DC/Nyquist must land at its natural index with the exact
+    one-sided scaling law (src/public/spectrum.ts:45-61)."""
+    n = 4096
+    x = RNG.standard_normal((2, n)).astype(np.float32)
+    amp = np.asarray(spectrum_amplitude_pallas(jnp.asarray(x), n,
+                                               window="hann", sides="one"))
+    w = window_values("hann", n)
+    k = np.arange(n // 2 + 1)
+    f = np.where((k == 0) | (k == n // 2), 1 / n, 2 / n)
+    ref = np.abs(np.fft.rfft(x.astype(np.float64) * w, axis=-1)) * f
+    assert amp.shape == ref.shape
+    assert snr_db(ref, amp) > 110
+
+
 def test_fused_spectrum_bf16x3_precision_mode():
     # The fast split-bf16 dot mode trades ~28 dB of headroom for ~1.4x
     # throughput on v5e; it must stay above 105 dB SNR vs f64 and agree

@@ -140,6 +140,24 @@ def test_framed_spectrum_kernel_matches_frame_path():
                                    rtol=0, atol=1e-6)
 
 
+def test_framed_spectrum_kernel_xla_turn_path():
+    """n = 4096 drives the framed kernel's turn="xla" strategy (permuted
+    pair-packed rows + XLA transpose epilogue) — must still equal the
+    frame-materialising path exactly."""
+    from pragma_dsp_tpu.ops.fft_pallas import (
+        framed_spectrum_amplitude_pallas, spectrum_amplitude_pallas)
+
+    rng = np.random.default_rng(23)
+    n, hop = 4096, 2048
+    x = rng.standard_normal(3 * n).astype(np.float32)
+    frames = frame_signal(jnp.asarray(x), n, hop)
+    ref = spectrum_amplitude_pallas(frames, n, "hann", interpret=True)
+    amp = framed_spectrum_amplitude_pallas(x, n, hop, "hann",
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(amp), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
 def test_framed_spectrum_support_gate():
     """Unsupported (n, hop) combos must raise, and the support predicate
     must mirror the kernel's constraints (pow-2 n > 128, 128 | hop | n)."""
@@ -163,17 +181,27 @@ def test_framed_spectrum_support_gate():
             jnp.zeros(512, jnp.float32), 1024, 256, interpret=True)
 
 
-def test_spectrogram_amplitude_routes_framed():
-    """stream.spectrogram_amplitude auto-routes to the framed kernel when
-    supported; output must stay identical to the generic full path."""
+def test_spectrogram_amplitude_framed_option():
+    """stream.spectrogram_amplitude with framed=True routes through the
+    framed (signal-in) kernel; output must stay identical to the
+    default frame-materialising path, and framed=True on an unsupported
+    (n, hop) must raise."""
+    import pytest
+
     from pragma_dsp_tpu.stream import spectrogram_amplitude
 
     rng = np.random.default_rng(22)
     x = rng.standard_normal(4096).astype(np.float32)
-    fast = np.asarray(spectrogram_amplitude(jnp.asarray(x), 512, 128, "hann"))
+    fast = np.asarray(spectrogram_amplitude(jnp.asarray(x), 512, 128,
+                                            "hann", framed=True))
     full = spectrogram(jnp.asarray(x), 512, 128, "hann", 48000.0)
     np.testing.assert_allclose(fast, np.asarray(full.amplitude),
                                rtol=0, atol=2e-6)
+    deflt = np.asarray(spectrogram_amplitude(jnp.asarray(x), 512, 128,
+                                             "hann"))
+    np.testing.assert_allclose(fast, deflt, rtol=0, atol=0)
+    with pytest.raises(ValueError):
+        spectrogram_amplitude(jnp.asarray(x), 512, 100, "hann", framed=True)
 
 
 def test_fused_spectrogram_path_equivalence():
