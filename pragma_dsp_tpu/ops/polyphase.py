@@ -105,12 +105,22 @@ def _upfirdn_banded(x: Array, h: Array, up: int, down: int,
     length = x.shape[-1]
     q_taps = -(-k // up)                     # taps per phase
     halo = q_taps - 1                        # left history per cycle
-    w_frame = down + halo
     out_len = -(-((length - 1) * up + k) // down)
-    n_frames = -(-out_len // up)
+    # Cycle grouping: one polyphase cycle emits ``up`` outputs, so for
+    # small ``up`` a per-cycle dot starves the 128-lane MXU — pure
+    # decimation (up=1) degenerates to a (W, 1) matvec that measured
+    # ~30 ms for the WBFM channel filter (bench/wbfmprobe.py). Grouping
+    # C cycles per frame makes each dot emit up*C ~ 128 outputs at the
+    # cost of a (down*C + halo)-wide frame; identical arithmetic, just
+    # a blocked matrix.
+    cyc = max(1, -(-128 // up))
+    upc = up * cyc
+    stride = down * cyc
+    w_frame = stride + halo
+    n_frames = -(-out_len // upc)
 
-    mat = np.zeros((w_frame, up))
-    for r in range(up):
+    mat = np.zeros((w_frame, upc))
+    for r in range(upc):
         p = (r * down) % up
         c = (r * down) // up                 # in-frame base (before halo)
         for q in range(q_taps):
@@ -118,13 +128,14 @@ def _upfirdn_banded(x: Array, h: Array, up: int, down: int,
             if tap < k:
                 mat[c - q + halo, r] = hh[tap]
 
-    # frames[s] = xp[s*down : s*down + w_frame], xp left-padded by halo,
-    # right-padded to whole rows; built from row-shifted reshape slices.
-    t_rows = -(-w_frame // down)
-    total = (n_frames + t_rows) * down
+    # frames[s] = xp[s*stride : s*stride + w_frame], xp left-padded by
+    # halo, right-padded to whole rows; built from row-shifted reshape
+    # slices.
+    t_rows = -(-w_frame // stride)
+    total = (n_frames + t_rows) * stride
     pad = [(0, 0)] * (x.ndim - 1) + [(halo, total - halo - length)]
     xp = jnp.pad(x, pad)
-    rows = xp.reshape(xp.shape[:-1] + (n_frames + t_rows, down))
+    rows = xp.reshape(xp.shape[:-1] + (n_frames + t_rows, stride))
     frames = jnp.concatenate(
         [rows[..., t: t + n_frames, :] for t in range(t_rows)],
         axis=-1)[..., :w_frame]
@@ -140,7 +151,7 @@ def _upfirdn_banded(x: Array, h: Array, up: int, down: int,
         y = jnp.einsum("...fw,wr->...fr", frames,
                        jnp.asarray(mat, dtype=x.dtype),
                        precision=jax.lax.Precision.HIGHEST)
-    y = y.reshape(y.shape[:-2] + (n_frames * up,))
+    y = y.reshape(y.shape[:-2] + (n_frames * upc,))
     return y[..., :out_len]
 
 
