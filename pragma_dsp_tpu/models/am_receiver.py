@@ -10,8 +10,6 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-import jax.numpy as jnp
-
 from ..core.complex import Array, as_complex_array
 from ..ops.demod import am_demod
 from ..ops.polyphase import design_lowpass, upfirdn
@@ -49,9 +47,12 @@ class AmReceiver:
 
     def __call__(self, iq) -> Array:
         xc = as_complex_array(iq)
-        chan = upfirdn(xc, jnp.asarray(self._chan_taps), 1, self._decim1)
+        # Taps stay numpy (see fm_receiver.__call__): an in-trace
+        # jnp.asarray would trace them and knock upfirdn off its
+        # banded-MXU path.
+        chan = upfirdn(xc, self._chan_taps, 1, self._decim1)
         env = am_demod(chan, remove_dc=True)
-        return upfirdn(env, jnp.asarray(self._audio_taps),
+        return upfirdn(env, self._audio_taps,
                        self._up, self._down)
 
 

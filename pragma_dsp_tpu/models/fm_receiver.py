@@ -72,8 +72,12 @@ class FmReceiver:
     def __call__(self, iq) -> Array:
         c = self.config
         xc = as_complex_array(iq)
-        # 1. channel select: lowpass + decimate in one polyphase pass
-        chan = upfirdn(xc, jnp.asarray(self._chan_taps), 1, self._decim1)
+        # 1. channel select: lowpass + decimate in one polyphase pass.
+        # Taps stay numpy: converting them with jnp.asarray here would
+        # yield a TRACER when __call__ runs under an outer jit, and
+        # upfirdn's banded-MXU path (which needs concrete taps) would
+        # silently fall back to the ~100x-slower dilated conv.
+        chan = upfirdn(xc, self._chan_taps, 1, self._decim1)
         # 2. discriminator -> baseband audio at if_rate, normalised
         audio_if = fm_discriminate(chan, sample_rate=c.if_rate,
                                    deviation=c.deviation)
@@ -81,7 +85,7 @@ class FmReceiver:
         if c.deemphasis_tau is not None:
             audio_if = deemphasis(audio_if, c.if_rate, c.deemphasis_tau)
         # 4. resample to audio rate
-        audio = upfirdn(audio_if, jnp.asarray(self._audio_taps),
+        audio = upfirdn(audio_if, self._audio_taps,
                         self._up, self._down)
         return audio
 
@@ -123,7 +127,7 @@ class FmReceiver:
             raise ValueError(
                 f"chunk length {xc.real.shape[-1]} must be a multiple of "
                 f"{self.chunk_quantum}")
-        taps = jnp.asarray(self._chan_taps)
+        taps = self._chan_taps  # numpy: keeps upfirdn's banded path under jit
         cr, yr = upfirdn_step(state.chan_re, xc.real, taps, 1, self._decim1)
         ci, yi = upfirdn_step(state.chan_im, xc.imag, taps, 1, self._decim1)
         chan = ComplexArray(yr, yi)
@@ -137,7 +141,7 @@ class FmReceiver:
             audio_if = iir_one_pole(audio_if, alpha, y0=deemph_y)
             deemph_y = audio_if[..., -1:]
         ast, audio = upfirdn_step(state.audio, audio_if,
-                                  jnp.asarray(self._audio_taps),
+                                  self._audio_taps,
                                   self._up, self._down)
         return WbfmStreamState(chan_re=cr, chan_im=ci, disc=disc,
                                deemph_y=deemph_y, audio=ast), audio

@@ -251,8 +251,9 @@ def upfirdn_step(state: UpfirdnState, chunk, h, up: int = 1, down: int = 1):
     if jnp.iscomplexobj(chunk):
         raise TypeError("upfirdn_step streams real planes; split complex "
                         "input and carry one state per plane")
-    h = jnp.asarray(h)
-    k = h.shape[0]
+    # h passes through unconverted: jnp.asarray under an outer jit would
+    # trace concrete taps and push upfirdn onto its slow conv fallback.
+    k = np.shape(h)[0]
     if (chunk.shape[-1] * up) % down != 0:
         raise ValueError(
             f"chunk length {chunk.shape[-1]} must satisfy len*{up} % {down} == 0")

@@ -129,3 +129,38 @@ def test_f32_long_stream_precision_audit():
                                      jnp.asarray(iq.imag, jnp.float32))),
                      np.float64)
     assert snr_db(a64, a32) > 100.0
+
+
+def test_receiver_chain_stays_on_banded_path_under_jit():
+    """In this JAX version jnp.asarray(numpy) INSIDE a jit trace returns a
+    tracer, so any call site that eagerly converted taps knocked upfirdn
+    off its banded-MXU path onto the dilated-conv fallback — measured
+    ~120x slower end-to-end on v5e (bench/wbfmab.py: 0.118 ms inline vs
+    13.9 ms through FmReceiver.__call__ before the fix). Guard every
+    receiver entry point by asserting the lowered program contains no
+    conv_general_dilated."""
+    import jax
+
+    from pragma_dsp_tpu.models import AmReceiver, AmReceiverConfig
+    from pragma_dsp_tpu.ops.polyphase import upfirdn
+
+    taps = np.hanning(127)
+    jaxpr = str(jax.make_jaxpr(lambda x: upfirdn(x, taps, 1, 10))(
+        jnp.ones(4800, jnp.float32)))
+    assert "conv_general_dilated" not in jaxpr
+
+    rx = FmReceiver(FmReceiverConfig())
+    v = jnp.ones(rx.chunk_quantum * 4, jnp.float32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda a, b: rx(ComplexArray(a, b)))(v, v))
+    assert "conv_general_dilated" not in jaxpr
+
+    st = rx.stream_init()
+    jaxpr = str(jax.make_jaxpr(
+        lambda s, a, b: rx.stream_step(s, ComplexArray(a, b)))(st, v, v))
+    assert "conv_general_dilated" not in jaxpr
+
+    am = AmReceiver(AmReceiverConfig())
+    jaxpr = str(jax.make_jaxpr(
+        lambda a, b: am(ComplexArray(a, b)))(v, v))
+    assert "conv_general_dilated" not in jaxpr
