@@ -78,6 +78,30 @@ def test_iir_one_pole_matches_lfilter():
     assert_snr(ref, got, 110, "one-pole IIR")
 
 
+def test_iir_one_pole_y0_and_traced_alpha_paths():
+    """Blocked (concrete alpha) and associative-scan (traced alpha)
+    paths agree with a f64 loop oracle, including a nonzero initial
+    condition and batched input."""
+    import jax
+
+    x = RNG.standard_normal((2, 517))      # non-multiple of the 128 block
+    alpha, y0 = 0.9, 1.5
+    ref = np.empty_like(x)
+    for b in range(x.shape[0]):
+        acc = y0
+        for n in range(x.shape[1]):
+            acc = (1 - alpha) * x[b, n] + alpha * acc
+            ref[b, n] = acc
+    blocked = np.asarray(iir_one_pole(jnp.asarray(x), alpha, y0=y0))
+    assert_snr(ref, blocked, 110, "blocked IIR with y0")
+
+    # Traced alpha under jit takes the element associative-scan fallback.
+    scanned = np.asarray(jax.jit(
+        lambda v, a: iir_one_pole(v, a, y0=y0))(jnp.asarray(x),
+                                                jnp.asarray(alpha)))
+    assert_snr(ref, scanned, 110, "scan IIR with y0")
+
+
 def test_deemphasis_is_lowpass():
     fs = 48000.0
     x = RNG.standard_normal(8192)
