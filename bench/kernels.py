@@ -238,12 +238,16 @@ def main():
 
     # resampler: upfirdn banded matmul; traffic ~ in 4 + polyphase frame
     # materialisation (~2 passes over input) + out 4*(147/160) + the
-    # checksum reduction reading the output once more
+    # checksum reduction reading the output once more. NOTE the row is
+    # MXU-TILE-PADDING bound, not HBM bound: the rational 147/160 ratio
+    # forces (.., 160)x(160, 147) dots at ~36% tile utilisation, and a
+    # fused Pallas kernel that removed every HBM pass measured SLOWER
+    # (0.267 vs 0.209 ms) — see BASELINE.md config-3 floor evidence.
     t = timed(chained(lambda v: resample_poly(v, 147, 160, num_taps=1177)),
               (sig, acc0), k4)
     report("resample 48k->44.1k", t, k4, sig.shape[0],
            bytes_per_sample=4 + 8 + 8 * 147 / 160,
-           note="upfirdn banded matmul")
+           note="upfirdn banded matmul, mxu-tile bound")
 
     # config 4: WBFM broadcast demod chain end-to-end (channel lowpass +
     # decimate -> quadrature discriminator -> de-emphasis -> audio
