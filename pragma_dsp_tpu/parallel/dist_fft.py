@@ -78,10 +78,16 @@ def _twiddles_fwd(n, n2, n1, sign, dtype):
 
 @functools.lru_cache(maxsize=128)
 def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
-                    dtype_name: str, inverse: bool, chunks: int):
+                    dtype_name: str, inverse: bool, chunks: int,
+                    batch_axis: Optional[str] = None):
     """Build + jit the shard_map'd transform once per static signature,
     so repeated dist_fft calls hit the compilation cache instead of
-    retracing (shard_map closures are not cached by identity)."""
+    retracing (shard_map closures are not cached by identity).
+
+    ``batch_axis`` shards the OUTERMOST batch dim over a second mesh
+    axis (the dp-over-host + sp-over-chip pod layout): the body is
+    unchanged because its collectives only span ``axis``, so each
+    batch shard runs an independent transform group."""
     import jax.numpy as _jnp
 
     n = n2 * n1
@@ -90,6 +96,8 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
     dtype = _jnp.dtype(dtype_name)
     tc_full, ts_full = _twiddles_fwd(n, n2, n1, sign, dtype)
     lead = [None] * (nd - 2)
+    if batch_axis is not None:
+        lead[0] = batch_axis
 
     def a2a(t, split, concat):
         return jax.lax.all_to_all(t, axis, split_axis=split,
@@ -191,7 +199,8 @@ def _auto_chunks(n2: int, n1: int, d: int, inverse: bool) -> int:
 
 
 def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
-             chunks: Optional[int] = None) -> ComplexArray:
+             chunks: Optional[int] = None,
+             batch_axis: Optional[str] = None) -> ComplexArray:
     """Distributed FFT of a [..., N2, N1] view of length N2*N1 signals.
 
     forward: input (..., N2, N1) natural (x[n1 + N1*n2] at [n2, n1]),
@@ -204,12 +213,24 @@ def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
     all_to_all is issued in that many pieces interleaved with the
     second local FFT (None -> automatic: 2 when the shard extent splits
     evenly). chunks=1 is the monolithic round-2 behaviour.
+
+    ``batch_axis`` names a second mesh axis over which the OUTERMOST
+    batch dim is sharded (dp over hosts while each transform shards
+    over ``axis``/ICI — the 2-D pod layout); requires a batch dim.
     """
     xc = as_complex_array(x)
     n2, n1 = xc.real.shape[-2], xc.real.shape[-1]
     d = mesh.shape[axis]
     if n1 % d != 0 or n2 % d != 0:
         raise ValueError(f"(N2={n2}, N1={n1}) must both divide by D={d}")
+    if batch_axis is not None:
+        if xc.real.ndim < 3:
+            raise ValueError("batch_axis needs a leading batch dim")
+        db = mesh.shape[batch_axis]
+        if xc.real.shape[0] % db != 0:
+            raise ValueError(
+                f"leading batch {xc.real.shape[0]} must divide by "
+                f"mesh axis {batch_axis!r} size {db}")
     if chunks is None:
         chunks = _auto_chunks(n2, n1, d, inverse)
     extent = (n1 // d) if inverse else (n2 // d)
@@ -218,16 +239,18 @@ def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
             f"chunks={chunks} must divide the local corner-turn extent "
             f"{extent}")
     fn = _build_dist_fft(mesh, axis, n2, n1, xc.real.ndim,
-                         str(xc.real.dtype), inverse, chunks)
+                         str(xc.real.dtype), inverse, chunks, batch_axis)
     ore, oim = fn(xc.real, xc.imag)
     return ComplexArray(ore, oim)
 
 
 def dist_ifft(p, mesh: Mesh, axis: str = "x",
-              chunks: Optional[int] = None) -> ComplexArray:
+              chunks: Optional[int] = None,
+              batch_axis: Optional[str] = None) -> ComplexArray:
     """Inverse of :func:`dist_fft`: permuted k2-sharded in, natural
     n1-sharded out, 1/N normalised."""
-    return dist_fft(p, mesh, axis, inverse=True, chunks=chunks)
+    return dist_fft(p, mesh, axis, inverse=True, chunks=chunks,
+                    batch_axis=batch_axis)
 
 
 def permuted_to_natural_host(p: ComplexArray) -> np.ndarray:

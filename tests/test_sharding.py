@@ -378,3 +378,33 @@ def test_dist_fft_first_called_inside_jit(mesh):
     got = permuted_to_natural_host(p)
     assert snr_db(np.stack([np.fft.fft(x).real, np.fft.fft(x).imag]),
                   np.stack([got.real, got.imag])) > 200
+
+
+def test_2d_mesh_dist_fft_dp_over_host(mesh2d):
+    """The 2-D pod layout for batched long transforms: batch (dp)
+    sharded over 'host', each FFT's corner turn confined to the 4-chip
+    'chip' (ICI) axis — no collective ever crosses the host axis."""
+    n = 1 << 12
+    n2, n1 = dist_fft_shape(n, 4)
+    x = RNG.standard_normal((4, n)) + 1j * RNG.standard_normal((4, n))
+    xv = x.reshape(4, n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real), jnp.asarray(xv.imag))
+    p = dist_fft(xc, mesh2d, axis="chip", batch_axis="host")
+    got = permuted_to_natural_host(p)
+    ref = np.fft.fft(x, axis=-1)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 200
+    # output layout: batch over host, k2 rows over chip
+    spec = p.real.sharding.spec
+    assert spec[0] == "host" and spec[1] == "chip"
+    rt = dist_ifft(p, mesh2d, axis="chip", batch_axis="host")
+    back = (np.asarray(rt.real) + 1j * np.asarray(rt.imag)).reshape(4, n)
+    np.testing.assert_allclose(back, x, atol=1e-10)
+
+
+def test_dist_fft_batch_axis_validation(mesh2d):
+    n2, n1 = dist_fft_shape(1 << 12, 4)
+    x = RNG.standard_normal((n2, n1))
+    xc = ComplexArray(jnp.asarray(x), jnp.asarray(np.zeros_like(x)))
+    with pytest.raises(ValueError, match="batch"):
+        dist_fft(xc, mesh2d, axis="chip", batch_axis="host")
