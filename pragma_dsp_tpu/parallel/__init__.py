@@ -17,6 +17,7 @@ from .sharded import (
     sharded_fir_filter,
     sharded_pfb_channelize,
     sharded_spectrogram,
+    sharded_wbfm_demod,
 )
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "sharded_fir_filter",
     "sharded_pfb_channelize",
     "sharded_spectrogram",
+    "sharded_wbfm_demod",
     "BarrierTimeout",
     "barrier",
     "health_check",

@@ -41,7 +41,7 @@ from ..stream.stft import spectrogram as _spectrogram
 from ..xform.fourier import bin_frequencies
 
 __all__ = ["sharded_fir_filter", "sharded_spectrogram",
-           "sharded_pfb_channelize"]
+           "sharded_pfb_channelize", "sharded_wbfm_demod"]
 
 
 def _last_axis_spec(nd: int, axis) -> P:
@@ -256,3 +256,75 @@ def sharded_pfb_channelize(x, channels: int, taps=None,
                             xc.real.ndim, channels_sharded_out)
     ore, oim = fn(xc.real, xc.imag, taps)
     return ComplexArray(ore, oim)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_wbfm(mesh: Mesh, axis, config, halo: int, nd: int):
+    from ..models.fm_receiver import FmReceiver
+
+    rx = FmReceiver(config)
+    q = rx.chunk_quantum
+    d = _extent(mesh, axis)
+    skip = (halo // q) * rx._up          # warm-up audio samples to drop
+
+    def body(xr, xi):
+        nloc = (xr.shape[-1] // q) * rx._up
+        perm = [(i, (i + 1) % d) for i in range(d)]
+        hr = jax.lax.ppermute(xr[..., xr.shape[-1] - halo:], axis, perm)
+        hi = jax.lax.ppermute(xi[..., xi.shape[-1] - halo:], axis, perm)
+        first = _flat_index(mesh, axis) == 0
+        hr = jnp.where(first, jnp.zeros_like(hr), hr)
+        hi = jnp.where(first, jnp.zeros_like(hi), hi)
+        buf = ComplexArray(jnp.concatenate([hr, xr], axis=-1),
+                           jnp.concatenate([hi, xi], axis=-1))
+        audio = rx(buf)
+        return audio[..., skip:skip + nloc]
+
+    spec = _last_axis_spec(nd, axis)
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=spec, check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_wbfm_demod(iq, mesh: Mesh, axis="x", config=None,
+                       halo: int = 8192) -> Array:
+    """WBFM receiver chain (BASELINE config 4) with the IQ time axis
+    sharded in contiguous blocks — the "1 host" scale of config 4.
+
+    Unlike the FIR/PFB pipelines, whose state is finite (K-1 samples),
+    the receiver contains an IIR (de-emphasis) whose state is infinite
+    but exponentially decaying, so exact halo exchange is impossible and
+    a WARM-UP halo is used instead: each device pulls the previous
+    block's last ``halo`` IQ samples with one `ppermute`, runs the whole
+    chain locally from zero state, and drops the warm-up portion of the
+    audio. Both resampler stages commute with quantum-aligned shifts
+    (the polyphase decimation grids realign exactly when the shift is a
+    multiple of ``FmReceiver.chunk_quantum``), and the de-emphasis
+    transient decays as alpha^m — at the default 75 us / 240 kHz IF,
+    alpha**(halo/decim - audio_taps) ~ 2e-17 for halo=8200, below even
+    f64 round-off. Result: the exact steady-state audio prefix of
+    `models.fm_receiver.wbfm_demod`, length (L // quantum) * up per
+    signal (ring-out tail samples omitted, matching the streaming
+    interface's prefix contract).
+
+    Local block length L/D must be a multiple of the quantum and >= the
+    (rounded-up) halo.
+    """
+    from ..models.fm_receiver import FmReceiver, FmReceiverConfig
+
+    config = FmReceiverConfig() if config is None else config
+    rx = FmReceiver(config)
+    q = rx.chunk_quantum
+    halo = -(-halo // q) * q
+    xc = as_complex_array(iq)
+    d = _extent(mesh, axis)
+    lloc = xc.real.shape[-1] // d
+    if xc.real.shape[-1] % d != 0 or lloc % q != 0:
+        raise ValueError(
+            f"signal length {xc.real.shape[-1]} must split into D={d} "
+            f"blocks of a multiple of the chunk quantum {q}")
+    if lloc < halo:
+        raise ValueError(
+            f"local block {lloc} shorter than the warm-up halo {halo}")
+    fn = _build_sharded_wbfm(mesh, axis, config, halo, xc.real.ndim)
+    return fn(xc.real, xc.imag)

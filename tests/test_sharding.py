@@ -408,3 +408,48 @@ def test_dist_fft_batch_axis_validation(mesh2d):
     xc = ComplexArray(jnp.asarray(x), jnp.asarray(np.zeros_like(x)))
     with pytest.raises(ValueError, match="batch"):
         dist_fft(xc, mesh2d, axis="chip", batch_axis="host")
+
+
+# ── sharded WBFM chain — config 4 at the "1 host" scale ──
+
+
+def _fm_iq(length, fs=2.4e6, dev=75e3):
+    t = np.arange(length) / fs
+    msg = 0.7 * np.sin(2 * np.pi * 1000.0 * t) \
+        + 0.2 * np.sin(2 * np.pi * 4000.0 * t)
+    z = np.exp(1j * 2 * np.pi * dev * np.cumsum(msg) / fs)
+    return ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag))
+
+
+def test_sharded_wbfm_matches_batch_prefix(mesh):
+    """Warm-up-halo time sharding: exact (to f64 round-off) steady-state
+    audio — the de-emphasis IIR transient decays below round-off inside
+    the 8200-sample halo, and both polyphase grids realign because the
+    shard offsets are quantum multiples."""
+    from pragma_dsp_tpu.models.fm_receiver import FmReceiver
+    from pragma_dsp_tpu.parallel import sharded_wbfm_demod
+
+    xc = _fm_iq(8 * 16800)
+    ref = np.asarray(FmReceiver()(xc))
+    got = np.asarray(sharded_wbfm_demod(xc, mesh))
+    assert got.shape[-1] == (8 * 16800 // 50)
+    np.testing.assert_allclose(got, ref[: got.shape[-1]], atol=1e-12)
+
+
+def test_sharded_wbfm_2d_mesh(mesh2d):
+    from pragma_dsp_tpu.models.fm_receiver import FmReceiver
+    from pragma_dsp_tpu.parallel import sharded_wbfm_demod
+
+    xc = _fm_iq(8 * 16800)
+    ref = np.asarray(FmReceiver()(xc))
+    got = np.asarray(sharded_wbfm_demod(xc, mesh2d, axis=("host", "chip")))
+    np.testing.assert_allclose(got, ref[: got.shape[-1]], atol=1e-12)
+
+
+def test_sharded_wbfm_validation(mesh):
+    from pragma_dsp_tpu.parallel import sharded_wbfm_demod
+
+    with pytest.raises(ValueError, match="quantum"):
+        sharded_wbfm_demod(_fm_iq(8 * 16801), mesh)
+    with pytest.raises(ValueError, match="halo"):
+        sharded_wbfm_demod(_fm_iq(8 * 400), mesh)
