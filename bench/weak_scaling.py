@@ -116,6 +116,27 @@ def main():
         print(f"(2,4) mesh: {8 * per_dev / t / 1e6:9.1f} MS/s total "
               "(halos on 'chip', corner turn over the joint axis)")
 
+    print("== weak scaling: time-sharded WBFM chain (config 4) ==")
+    from pragma_dsp_tpu.parallel import sharded_wbfm_demod
+
+    per_dev = (1 << 19) if on_tpu else 16800
+    per_dev = per_dev // 50 * 50
+    halo = 8200 if per_dev >= 8200 else 400
+    base = None
+    for d in dev_counts:
+        mesh = data_mesh(d)
+        z = rng.standard_normal(d * per_dev).astype(np.float32)
+        zi = rng.standard_normal(d * per_dev).astype(np.float32)
+        sh = NamedSharding(mesh, P("x"))
+        iq = ComplexArray(jax.device_put(jnp.asarray(z), sh),
+                          jax.device_put(jnp.asarray(zi), sh))
+        t = timed(lambda: sharded_wbfm_demod(iq, mesh, halo=halo))
+        thr = d * per_dev / t / 1e6
+        if base is None:
+            base = thr / d
+        print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
+              f"eff {100*thr/(base*d):.0f}%)")
+
     print("== strong scaling: distributed FFT ==")
     n = (1 << 20) if on_tpu else (1 << 16)
     for d in dev_counts:
