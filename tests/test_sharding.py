@@ -453,3 +453,17 @@ def test_sharded_wbfm_validation(mesh):
         sharded_wbfm_demod(_fm_iq(8 * 16801), mesh)
     with pytest.raises(ValueError, match="halo"):
         sharded_wbfm_demod(_fm_iq(8 * 400), mesh)
+
+
+def test_sharded_wbfm_stays_on_banded_path(mesh):
+    """Same guard as tests/test_fm_receiver.py: the receiver inside the
+    shard_map body must keep numpy taps so upfirdn stays on its
+    banded-MXU path (a traced-taps regression silently falls back to
+    the ~100x-slower dilated conv)."""
+    from pragma_dsp_tpu.parallel import sharded_wbfm_demod
+
+    xc = _fm_iq(8 * 16800)
+    jaxpr = str(jax.make_jaxpr(
+        lambda a, b: sharded_wbfm_demod(ComplexArray(a, b), mesh))(
+            xc.real, xc.imag))
+    assert "conv_general_dilated" not in jaxpr
