@@ -69,7 +69,22 @@ class FmReceiver:
         self._audio_taps = design_lowpass(
             c.audio_taps * max(1, self._up), audio_cut) * self._up
 
-    def __call__(self, iq) -> Array:
+    def __call__(self, iq, *, stream_start_if: Optional[int] = None,
+                 stream_start_mask=None) -> Array:
+        """Demodulate IQ [..., L] to audio.
+
+        ``stream_start_if`` marks IF sample index i as the TRUE stream
+        start for the discriminator when the leading IQ samples are
+        zero-fill warm-up (the sharded warm-up-halo path,
+        parallel.sharded_wbfm_demod): the channel FIR of an all-zero
+        halo is exactly 0, so dphi[i] would be atan2(+-0, +-0) — a
+        sign-of-zero lottery over {0, +-pi} — instead of the batch
+        convention angle(chan[i] * conj(1+0j)) (_phase_diff's implicit
+        x[-1] = 1+0j). The sample is recomputed with that convention,
+        bit-identical to the batch chain for nonzero chan[i].
+        ``stream_start_mask`` (traced bool, e.g. axis_index()==0 inside
+        shard_map) gates the fix per device.
+        """
         c = self.config
         xc = as_complex_array(iq)
         # 1. channel select: lowpass + decimate in one polyphase pass.
@@ -81,6 +96,13 @@ class FmReceiver:
         # 2. discriminator -> baseband audio at if_rate, normalised
         audio_if = fm_discriminate(chan, sample_rate=c.if_rate,
                                    deviation=c.deviation)
+        if stream_start_if is not None and stream_start_if > 0:
+            i = stream_start_if
+            scale = c.if_rate / (2.0 * np.pi) / c.deviation
+            fix = jnp.arctan2(chan.imag[..., i], chan.real[..., i]) * scale
+            if stream_start_mask is not None:
+                fix = jnp.where(stream_start_mask, fix, audio_if[..., i])
+            audio_if = audio_if.at[..., i].set(fix)
         # 3. de-emphasis
         if c.deemphasis_tau is not None:
             audio_if = deemphasis(audio_if, c.if_rate, c.deemphasis_tau)

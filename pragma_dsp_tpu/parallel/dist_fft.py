@@ -224,6 +224,10 @@ def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
     if n1 % d != 0 or n2 % d != 0:
         raise ValueError(f"(N2={n2}, N1={n1}) must both divide by D={d}")
     if batch_axis is not None:
+        if batch_axis not in mesh.axis_names:
+            raise ValueError(
+                f"batch_axis {batch_axis!r} is not a mesh axis "
+                f"(available: {tuple(mesh.axis_names)})")
         if xc.real.ndim < 3:
             raise ValueError("batch_axis needs a leading batch dim")
         db = mesh.shape[batch_axis]

@@ -277,7 +277,15 @@ def _build_sharded_wbfm(mesh: Mesh, axis, config, halo: int, nd: int):
         hi = jnp.where(first, jnp.zeros_like(hi), hi)
         buf = ComplexArray(jnp.concatenate([hr, xr], axis=-1),
                            jnp.concatenate([hi, xi], axis=-1))
-        audio = rx(buf)
+        # Device 0's halo is zero-fill (the stream's true start), which
+        # keeps the channel FIR exactly equal to the batch chain's
+        # implicit zero history — but leaves the discriminator's
+        # boundary dphi as atan2(+-0, +-0) instead of the batch
+        # stream-start convention angle(chan[0]); stream_start_if
+        # recomputes that one IF sample inside the receiver, gated to
+        # device 0.
+        audio = rx(buf, stream_start_if=halo // rx._decim1,
+                   stream_start_mask=first)
         return audio[..., skip:skip + nloc]
 
     spec = _last_axis_spec(nd, axis)
@@ -302,7 +310,13 @@ def sharded_wbfm_demod(iq, mesh: Mesh, axis="x", config=None,
     multiple of ``FmReceiver.chunk_quantum``), and the de-emphasis
     transient decays as alpha^m — at the default 75 us / 240 kHz IF,
     alpha**(halo/decim - audio_taps) ~ 2e-17 for halo=8200, below even
-    f64 round-off. Result: the exact steady-state audio prefix of
+    f64 round-off. Device 0's halo is zero-fill (the true stream start),
+    which keeps its channel FIR bit-equal to the batch chain; the one
+    convention-sensitive sample — the discriminator's boundary dphi,
+    whose previous sample the batch chain takes as 1+0j — is recomputed
+    inside the receiver (``FmReceiver.__call__(stream_start_if=...)``),
+    so the parity below holds from the very first audio sample. Result:
+    the exact steady-state audio prefix of
     `models.fm_receiver.wbfm_demod`, length (L // quantum) * up per
     signal (ring-out tail samples omitted, matching the streaming
     interface's prefix contract).

@@ -408,16 +408,22 @@ def test_dist_fft_batch_axis_validation(mesh2d):
     xc = ComplexArray(jnp.asarray(x), jnp.asarray(np.zeros_like(x)))
     with pytest.raises(ValueError, match="batch"):
         dist_fft(xc, mesh2d, axis="chip", batch_axis="host")
+    with pytest.raises(ValueError, match="not a mesh axis"):
+        dist_fft(xc, mesh2d, axis="chip", batch_axis="nope")
 
 
 # ── sharded WBFM chain — config 4 at the "1 host" scale ──
 
 
-def _fm_iq(length, fs=2.4e6, dev=75e3):
+def _fm_iq(length, fs=2.4e6, dev=75e3, phi0=1.0):
+    # phi0 != 0 so the stream's first sample has nonzero phase: the
+    # device-0 boundary dphi equals angle(chan[0]) only if the sharded
+    # chain honours the batch discriminator's x[-1]=1+0j convention
+    # (with phi0=0 a broken boundary coincidentally matches).
     t = np.arange(length) / fs
     msg = 0.7 * np.sin(2 * np.pi * 1000.0 * t) \
         + 0.2 * np.sin(2 * np.pi * 4000.0 * t)
-    z = np.exp(1j * 2 * np.pi * dev * np.cumsum(msg) / fs)
+    z = np.exp(1j * (phi0 + 2 * np.pi * dev * np.cumsum(msg) / fs))
     return ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag))
 
 
