@@ -290,24 +290,53 @@ def main():
            bytes_per_sample=8 + 8 + 8,
            note="fused kernel, 8 taps/branch")
 
-    # 1M-point FFT on one chip: the distributed four-step on a 1-device
-    # mesh ((1024,1024) view; local column FFT + twiddle + row pallas
-    # FFT). The north-star long-transform path measured on hardware.
+    # 1M-point FFT on one chip: the two-kernel fused path
+    # (ops/fft_big.py — column kernel with the inter-stage twiddle grid
+    # folded into its store, then the row kernel, permuted end-to-end).
+    # Bytes/sample: K1 reads in (8) + twiddle grids (8) and writes mid
+    # (8); K2 reads mid (8) and writes out (8) = 40 B/sample. MXU: two
+    # 1024-pt stages x 1024 f32-flop/sample x passes. A long timing
+    # loop (K3) keeps the ~0.05 ms/iter total far above the tunnel RTT.
+    # SNR vs numpy f64 is verified before timing (north-star clause).
     if big:
-        from pragma_dsp_tpu.parallel import data_mesh, dist_fft, \
-            dist_fft_shape
-        mesh1 = data_mesh(1)
+        from pragma_dsp_tpu.ops.fft_big import (big_permuted_to_natural,
+                                                big_split, fft_big_permuted)
+        from pragma_dsp_tpu.parallel import data_mesh, dist_fft
         nbig = 1 << 20
-        nn2, nn1 = dist_fft_shape(nbig, 1)
-        zr = jnp.asarray(rng.standard_normal((nn2, nn1)), jnp.float32)
-        zi = jnp.asarray(rng.standard_normal((nn2, nn1)), jnp.float32)
+        nn2, nn1 = big_split(nbig)
+        zbig = (rng.standard_normal(nbig)
+                + 1j * rng.standard_normal(nbig))
+        zr = jnp.asarray(zbig.real, jnp.float32)
+        zi = jnp.asarray(zbig.imag, jnp.float32)
+        pbig = fft_big_permuted(ComplexArray(zr, zi))
+        gotbig = (np.asarray(big_permuted_to_natural(pbig.real, nn2, nn1))
+                  + 1j * np.asarray(
+                      big_permuted_to_natural(pbig.imag, nn2, nn1)))
+        refbig = np.fft.fft(zbig)
+        snr_big = 10 * np.log10(np.sum(np.abs(refbig) ** 2)
+                                / np.sum(np.abs(refbig - gotbig) ** 2))
 
         def big_step(r, i):
+            o = fft_big_permuted(ComplexArray(r, i), donate=True)
+            return o.real.reshape(-1), o.imag.reshape(-1)
+        k3 = K * 20
+        t = timed(big_step, (zr, zi), k3)
+        report("1M-pt FFT (2-kernel fused, 1 chip)", t, k3, nbig,
+               bytes_per_sample=40, flops_per_sample=2 * 1024 * 3,
+               note=f"permuted out, SNR {snr_big:.1f} dB vs numpy f64")
+
+        # The D-sharded distributed path on a 1-device mesh (its column
+        # stage now rides the pallas column kernel via dispatch).
+        mesh1 = data_mesh(1)
+        rv = zr.reshape(nn2, nn1)
+        iv = zi.reshape(nn2, nn1)
+
+        def d1_step(r, i):
             o = dist_fft(ComplexArray(r, i), mesh1)
             return o.real, o.imag
-        t = timed(big_step, (zr, zi), K)
-        report("1M-pt FFT (four-step, 1 chip)", t, K, nbig,
-               note="(1024,1024) view, SNR ~109 dB")
+        t = timed(d1_step, (rv, iv), k3)
+        report("1M-pt dist_fft (1-dev mesh)", t, k3, nbig,
+               note="sharded path, cols kernel via dispatch")
 
     print(f"device: {specs['kind']}  hbm {specs['hbm_bytes_per_s']/1e9:.0f} "
           f"GB/s  f32 {specs['f32_flops']/1e12:.0f} TF/s  "

@@ -40,7 +40,7 @@ from .fft_pallas import fft_pallas, ifft_pallas
 __all__ = ["fft", "ifft", "set_fft_impl", "get_fft_impl",
            "set_fft_precision", "get_fft_precision"]
 
-_IMPLS = ("auto", "stockham", "fourstep", "pallas")
+_IMPLS = ("auto", "stockham", "fourstep", "pallas", "big")
 _impl = "auto"
 
 _PRECISIONS = ("auto", "highest", "bf16x3")
@@ -73,6 +73,13 @@ def get_fft_precision() -> str:
     return _precision
 
 
+# Row-kernel practical ceiling: beyond this the trace-time plane
+# recursion and per-block VMEM footprint stop paying; n >= MIN_BIG_N
+# takes the two-kernel fft_big path instead (2.5 HBM passes vs the jnp
+# fourstep's ~6 at 2^20).
+_MAX_PALLAS_ROW_N = 16384
+
+
 def _resolve(xc: ComplexArray, axis: int) -> str:
     if _impl != "auto":
         return _impl
@@ -81,9 +88,20 @@ def _resolve(xc: ComplexArray, axis: int) -> str:
     if xc.real.dtype not in (jnp.float32, jnp.bfloat16):
         return "stockham"
     n = xc.real.shape[axis]
-    if (n > 128 and is_power_of_two(n)
-            and axis in (-1, xc.real.ndim - 1)):
-        return "pallas"
+    if not is_power_of_two(n) or n <= 128:
+        return "fourstep"
+    ax = axis % xc.real.ndim
+    if ax == xc.real.ndim - 1:
+        if n <= _MAX_PALLAS_ROW_N:
+            return "pallas"
+        from .fft_big import MIN_BIG_N
+        if n >= MIN_BIG_N:
+            return "big"
+        return "fourstep"
+    if ax == xc.real.ndim - 2 and xc.real.ndim >= 2:
+        from .fft_pallas import MAX_COLS_N
+        if n <= MAX_COLS_N:
+            return "pallas"           # column kernel (fft_pallas axis=-2)
     return "fourstep"
 
 
@@ -101,6 +119,8 @@ def fft(x, axis: int = -1, impl: Optional[str] = None,
     chosen = impl if impl is not None else _resolve(xc, axis)
     if chosen == "pallas":
         return fft_pallas(xc, axis, precision=precision, donate=donate)
+    if chosen == "big":
+        return _run_big(xc, axis, False, precision, donate)
     if chosen == "fourstep":
         return fft_fourstep(xc, axis)
     return _fft_stockham(xc, axis)
@@ -114,6 +134,24 @@ def ifft(x, axis: int = -1, impl: Optional[str] = None,
     chosen = impl if impl is not None else _resolve(xc, axis)
     if chosen == "pallas":
         return ifft_pallas(xc, axis, precision=precision, donate=donate)
+    if chosen == "big":
+        return _run_big(xc, axis, True, precision, donate)
     if chosen == "fourstep":
         return ifft_fourstep(xc, axis)
     return _ifft_stockham(xc, axis)
+
+
+def _run_big(xc: ComplexArray, axis: int, inverse: bool,
+             precision: Optional[str], donate: bool) -> ComplexArray:
+    """Natural-order fft_big over any axis (moveaxis off the last axis)."""
+    from .fft_big import fft_big, ifft_big
+
+    f = ifft_big if inverse else fft_big
+    ax = axis % xc.real.ndim
+    if ax == xc.real.ndim - 1:
+        return f(xc, precision=precision, donate=donate)
+    v = ComplexArray(jnp.moveaxis(xc.real, axis, -1),
+                     jnp.moveaxis(xc.imag, axis, -1))
+    o = f(v, precision=precision, donate=donate)
+    return ComplexArray(jnp.moveaxis(o.real, -1, ax),
+                        jnp.moveaxis(o.imag, -1, ax))

@@ -60,6 +60,11 @@ __all__ = [
     "ifft_pallas_from_permuted",
     "permuted_to_natural",
     "natural_to_permuted",
+    "fft_pallas_cols_permuted",
+    "ifft_pallas_cols_from_permuted",
+    "cols_permuted_to_natural",
+    "natural_to_cols_permuted",
+    "MAX_COLS_N",
     "spectrum_amplitude_pallas",
     "spectrum_amp_phase_pallas",
     "framed_spectrum_amplitude_pallas",
@@ -601,9 +606,18 @@ def ifft_pallas_from_permuted(p: ComplexArray, axis_shape_n: int,
 def fft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
                precision: Optional[str] = None,
                donate: bool = False) -> ComplexArray:
-    """Forward FFT, natural bin order (numpy convention, unnormalised)."""
+    """Forward FFT, natural bin order (numpy convention, unnormalised).
+
+    axis -2 runs the column kernel (transform over sublanes) plus one
+    XLA sublane restore — no moveaxis transpose of the data."""
     xc = as_complex_array(x)
     n = xc.real.shape[axis]
+    ax = axis % xc.real.ndim
+    if (xc.real.ndim >= 2 and ax == xc.real.ndim - 2
+            and LANES < n <= MAX_COLS_N and is_power_of_two(n)):
+        p = fft_pallas_cols_permuted(xc, interpret, precision, donate)
+        return ComplexArray(cols_permuted_to_natural(p.real, n),
+                            cols_permuted_to_natural(p.imag, n))
     p = fft_pallas_permuted(xc, axis, interpret, precision, donate)
     ore = permuted_to_natural(p.real, n)
     oim = permuted_to_natural(p.imag, n)
@@ -620,6 +634,13 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
     n = xc.real.shape[axis]
     if not is_power_of_two(n):
         raise ValueError(f"FFT size must be power of two, got {n}")
+    ax0 = axis % xc.real.ndim
+    if (xc.real.ndim >= 2 and ax0 == xc.real.ndim - 2
+            and LANES < n <= MAX_COLS_N):
+        p = ComplexArray(natural_to_cols_permuted(xc.real, n),
+                         natural_to_cols_permuted(xc.imag, n))
+        return ifft_pallas_cols_from_permuted(p, interpret, precision,
+                                              donate)
     re2, im2, shape = _flatten_batch(xc, axis)
     p = ComplexArray(natural_to_permuted(re2, n), natural_to_permuted(im2, n))
     out = ifft_pallas_from_permuted(p, n, interpret, precision, donate)
@@ -627,6 +648,296 @@ def ifft_pallas(x, axis: int = -1, interpret: Optional[bool] = None,
     ore = out.real.reshape(shape)
     oim = out.imag.reshape(shape)
     return ComplexArray(jnp.moveaxis(ore, -1, ax), jnp.moveaxis(oim, -1, ax))
+
+
+# ── column (axis=-2) FFT kernel ──────────────────────────────────────
+#
+# The four-step's FIRST stage transforms the n2 axis of an (n2, n1)
+# view — a transform over SUBLANES. Rather than transposing the data to
+# reuse the row kernel (two full HBM relayout passes), this kernel
+# mirrors the plane-structured row design with the two tile axes
+# swapped: the (n, TL) block is sliced into n2 = n/128 SUBLANE planes
+# p_s = x[128s:128(s+1), :] (t = 128 s + l, l the sublane), the small
+# DFT_n2 across planes is the same trace-time recursion of VPU plane
+# ops (_plane_dft is layout-agnostic), the within-column twiddle
+# W_n^{lu} is one (128, 1)-broadcast multiply, and the sublane DFT_128
+# is a LEFT MXU dot: [Yre ; Yim] = [[F_re, -F_im], [F_im, F_re]] @
+# [T_re ; T_im] per output plane — a (256, 256) @ (256, TL) contraction
+# at full MXU width. Output plane u holds X[u + n2*v] at sublane v (the
+# permuted-order contract, sublane flavour); the inverse consumes that
+# order and emits natural time order, exactly like the row pair.
+#
+# ``fold`` streams an extra (n, m) cos/sin grid pair in the SAME
+# permuted sublane layout and multiplies it into the output (forward) /
+# input (inverse): the four-step INTER-STAGE twiddle W_N^{k2*n1} of a
+# large N = n*m transform (ops/fft_big.py) rides the kernel instead of
+# costing its own HBM read+write pass.
+
+
+@functools.lru_cache(maxsize=32)
+def _fftcols_plan(n: int, inverse: bool,
+                  precision: str) -> Tuple[np.ndarray, ...]:
+    """Trace-time constants for the column kernel (numpy only — may be
+    hit inside a jit trace): FFL = [[F_re, -F_im], [F_im, F_re]] so
+    FFL @ [T_re ; T_im] = [Y_re ; Y_im] in one left contraction (1/n
+    folded for the inverse), plus the within-column twiddle W_n^{lu} as
+    a (128, n2) COLUMN table. bf16x3 pre-splits FFL."""
+    assert n > LANES
+    sign = 1.0 if inverse else -1.0
+    fr, fi = _dft_matrix(LANES, sign)
+    if inverse:
+        fr = fr / n
+        fi = fi / n
+    ffl = np.block([[fr, -fi], [fi, fr]]).astype(np.float32)
+    n2 = n // LANES
+    l = np.arange(LANES, dtype=np.float64)[:, None]
+    u = np.arange(n2, dtype=np.float64)[None, :]
+    ang = sign * 2.0 * np.pi * l * u / n
+    twc = np.cos(ang).astype(np.float32)
+    tws = np.sin(ang).astype(np.float32)
+    if precision == "bf16x3":
+        ffh, ffll = _np_bsplit(ffl)
+        return ffh, ffll, twc, tws
+    return ffl, twc, tws
+
+
+def _mk_mml(fast: bool, h_ref, l_ref=None):
+    """Left-dot closure for the column kernel: FFL @ [T_re ; T_im].
+    ``cols=LANES`` restricts to the left FFL columns (exactly-zero
+    imaginary input)."""
+    if fast:
+        def mm(cat, cols=None):
+            hi, lo = _bsplit(cat)
+            mh = h_ref[:] if cols is None else h_ref[:, :cols]
+            ml = l_ref[:] if cols is None else l_ref[:, :cols]
+            return _df_dot(mh, hi) + (_df_dot(ml, hi) + _df_dot(mh, lo))
+    else:
+        def mm(cat, cols=None):
+            m = h_ref[:] if cols is None else h_ref[:, :cols]
+            return _hi_dot(m, cat)
+    return mm
+
+
+def _fftcols_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast, fold):
+    """(1, n, TL) blocks in and out, transform over the n (sublane) axis.
+
+    forward: sublane planes -> plane DFT_n2 (sign -1) -> per-plane
+    column twiddle -> left FFL dot -> [optional fold grid multiply] ->
+    plane u stored at sublanes [128u, 128u+128) (permuted order).
+    inverse: plane u loaded from sublanes [128u, ...) -> [optional fold
+    grid multiply] -> left GGL dot (1/n folded) -> inverse twiddle ->
+    plane DFT_n2 (sign +1) -> natural time plane s."""
+    ore_ref, oim_ref = refs[-2], refs[-1]
+    if fast:
+        h_ref, l_ref = refs[0], refs[1]
+        mm = _mk_mml(True, h_ref, l_ref)
+        i0 = 2
+    else:
+        h_ref = refs[0]
+        mm = _mk_mml(False, h_ref)
+        i0 = 1
+    twc_ref, tws_ref = refs[i0], refs[i0 + 1]
+    gc_ref = gs_ref = None
+    if fold:
+        gc_ref, gs_ref = refs[i0 + 2], refs[i0 + 3]
+    odt = ore_ref.dtype
+    L = LANES
+    if not inverse:
+        xs_r = [re_ref[0, L * s:L * (s + 1), :].astype(jnp.float32)
+                for s in range(n2)]
+        xs_i = [im_ref[0, L * s:L * (s + 1), :].astype(jnp.float32)
+                for s in range(n2)]
+        ar, ai = _plane_dft(xs_r, xs_i, -1.0)
+        for u in range(n2):
+            if u == 0:
+                tr, ti = ar[0], ai[0]          # W_n^0 = 1
+            else:
+                c = twc_ref[:, u:u + 1]
+                s = tws_ref[:, u:u + 1]
+                tr = _psub(_pmul(ar[u], c), _pmul(ai[u], s))
+                ti = _padd(_pmul(ar[u], s), _pmul(ai[u], c))
+            if ti is None:
+                y = mm(tr, cols=L)
+            else:
+                y = mm(jnp.concatenate([tr, ti], axis=0))
+            yre, yim = y[:L, :], y[L:, :]
+            if fold:
+                gc = gc_ref[L * u:L * (u + 1), :]
+                gs = gs_ref[L * u:L * (u + 1), :]
+                yre, yim = yre * gc - yim * gs, yre * gs + yim * gc
+            ore_ref[0, L * u:L * (u + 1), :] = yre.astype(odt)
+            oim_ref[0, L * u:L * (u + 1), :] = yim.astype(odt)
+    else:
+        br, bi = [], []
+        for u in range(n2):
+            pre = re_ref[0, L * u:L * (u + 1), :].astype(jnp.float32)
+            pim = im_ref[0, L * u:L * (u + 1), :].astype(jnp.float32)
+            if fold:
+                gc = gc_ref[L * u:L * (u + 1), :]
+                gs = gs_ref[L * u:L * (u + 1), :]
+                pre, pim = pre * gc - pim * gs, pre * gs + pim * gc
+            w = mm(jnp.concatenate([pre, pim], axis=0))
+            wre, wim = w[:L, :], w[L:, :]
+            if u == 0:
+                br.append(wre)
+                bi.append(wim)
+            else:
+                c = twc_ref[:, u:u + 1]
+                s = tws_ref[:, u:u + 1]
+                br.append(wre * c - wim * s)
+                bi.append(wre * s + wim * c)
+        xr, xi = _plane_dft(br, bi, 1.0)
+        for s_ in range(n2):
+            ore_ref[0, L * s_:L * (s_ + 1), :] = xr[s_].astype(odt)
+            oim_ref[0, L * s_:L * (s_ + 1), :] = xi[s_].astype(odt)
+
+
+# Largest column-kernel transform: the (n, 128)-lane block must stay
+# inside the plane budget (n = 4096 keeps the six live f32 planes at
+# 2 MiB each under the 64 MiB scoped VMEM with double buffering).
+MAX_COLS_N = 4096
+
+
+def _pick_cols_tile(m: int, n: int) -> int:
+    """Lane-tile width per grid step of the column kernel."""
+    budget = _tuning().get("fftcols_lane_budget", 1024 * 1024)
+    tl = max(LANES, min(512, (budget // (4 * n)) // LANES * LANES))
+    return tl
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "inverse", "interpret", "precision",
+                                    "donate", "fold"))
+def _fft_pallas_cols_3d(re: Array, im: Array, gc, gs, n: int, inverse: bool,
+                        interpret: bool, precision: str = "highest",
+                        donate: bool = False,
+                        fold: bool = False) -> Tuple[Array, Array]:
+    """Core call: (B, n, m) in and out, transform over axis -2.
+
+    forward: natural-in -> sublane-permuted-out (plane u at sublanes
+    [128u, 128u+128) holds X[u + n2*v] at sublane v); inverse: permuted
+    in -> natural out. ``gc``/``gs`` (n, m) are the optional fold grid
+    (post-multiplied forward, pre-multiplied inverse) in the permuted
+    sublane layout."""
+    bsz, n_, m = re.shape
+    tl = _pick_cols_tile(m, n)
+    mp = -(-m // tl) * tl
+    if mp != m:
+        pad = [(0, 0), (0, 0), (0, mp - m)]
+        re = jnp.pad(re, pad)
+        im = jnp.pad(im, pad)
+        if fold:
+            gpad = [(0, 0), (0, mp - m)]
+            gc = jnp.pad(gc, gpad)
+            gs = jnp.pad(gs, gpad)
+    consts = [jnp.asarray(c) for c in _fftcols_plan(n, inverse, precision)]
+    kernel = functools.partial(_fftcols_kernel, n=n, n2=n // LANES,
+                               inverse=inverse,
+                               fast=(precision == "bf16x3"), fold=fold)
+    spec = pl.BlockSpec((1, n, tl), lambda b, j: (b, 0, j),
+                        memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((n, tl), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    operands = [re, im] + consts
+    in_specs = [spec, spec] + [_const_spec(c) for c in consts]
+    if fold:
+        operands += [gc, gs]
+        in_specs += [gspec, gspec]
+    out_shape = [jax.ShapeDtypeStruct((bsz, n, mp), re.dtype)] * 2
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
+    if donate:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=(bsz, mp // tl),
+        in_specs=in_specs,
+        out_specs=[spec, spec],
+        out_shape=out_shape,
+        interpret=interpret,
+        **kw,
+    )(*operands)
+    return ore[..., :m], oim[..., :m]
+
+
+def cols_permuted_to_natural(x: Array, n: int) -> Array:
+    """[..., n, m] sublane-permuted (plane u, sublane v hold row
+    u + n2*v) -> natural row order."""
+    n2 = n // LANES
+    lead, m = x.shape[:-2], x.shape[-1]
+    v = x.reshape(lead + (n2, LANES, m))
+    return jnp.swapaxes(v, -3, -2).reshape(lead + (n, m))
+
+
+def natural_to_cols_permuted(x: Array, n: int) -> Array:
+    """[..., n, m] natural rows -> sublane-permuted order (inverse of
+    :func:`cols_permuted_to_natural`)."""
+    n2 = n // LANES
+    lead, m = x.shape[:-2], x.shape[-1]
+    v = x.reshape(lead + (LANES, n2, m))
+    return jnp.swapaxes(v, -3, -2).reshape(lead + (n, m))
+
+
+def _cols_flatten(xc: ComplexArray):
+    re, im = xc.real, xc.imag
+    shape = re.shape
+    n, m = shape[-2], shape[-1]
+    return (re.reshape((-1, n, m)), im.reshape((-1, n, m)), shape)
+
+
+def fft_pallas_cols_permuted(x, interpret: Optional[bool] = None,
+                             precision: Optional[str] = None,
+                             donate: bool = False,
+                             fold_grids=None) -> ComplexArray:
+    """Forward FFT over axis -2 emitting sublane-permuted order: result
+    [..., n, m] has plane u, sublane v (row 128u + v) holding
+    X[u + n2*v] of each column. Pair with
+    :func:`ifft_pallas_cols_from_permuted` for transpose-free
+    fft -> pointwise -> ifft pipelines over the column axis.
+
+    ``fold_grids`` = (cos, sin) numpy/jnp arrays of shape (n, m) in the
+    permuted sublane layout: multiplied into the output after the
+    transform (the large-transform inter-stage twiddle)."""
+    precision = resolve_precision(precision)
+    xc = as_complex_array(x)
+    n = xc.real.shape[-2]
+    if not is_power_of_two(n) or n <= LANES:
+        raise ValueError(
+            f"column FFT size must be a power of two > {LANES}, got {n}")
+    interp = _use_interpret() if interpret is None else interpret
+    re3, im3, shape = _cols_flatten(xc)
+    fold = fold_grids is not None
+    gc, gs = (jnp.asarray(fold_grids[0]), jnp.asarray(fold_grids[1])) \
+        if fold else (None, None)
+    ore, oim = _fft_pallas_cols_3d(re3, im3, gc, gs, n, False, interp,
+                                   precision, donate, fold)
+    return ComplexArray(ore.reshape(shape), oim.reshape(shape))
+
+
+def ifft_pallas_cols_from_permuted(p, interpret: Optional[bool] = None,
+                                   precision: Optional[str] = None,
+                                   donate: bool = False,
+                                   fold_grids=None) -> ComplexArray:
+    """Inverse FFT over axis -2 consuming sublane-permuted order,
+    emitting natural rows, 1/n normalised. ``fold_grids`` multiplies the
+    INPUT before the inverse transform (the conjugate inter-stage
+    twiddle of :mod:`ops.fft_big`)."""
+    precision = resolve_precision(precision)
+    pc = as_complex_array(p)
+    n = pc.real.shape[-2]
+    if not is_power_of_two(n) or n <= LANES:
+        raise ValueError(
+            f"column FFT size must be a power of two > {LANES}, got {n}")
+    interp = _use_interpret() if interpret is None else interpret
+    re3, im3, shape = _cols_flatten(pc)
+    fold = fold_grids is not None
+    gc, gs = (jnp.asarray(fold_grids[0]), jnp.asarray(fold_grids[1])) \
+        if fold else (None, None)
+    ore, oim = _fft_pallas_cols_3d(re3, im3, gc, gs, n, True, interp,
+                                   precision, donate, fold)
+    return ComplexArray(ore.reshape(shape), oim.reshape(shape))
 
 
 # ── fused windowed spectrum amplitude ────────────────────────────────

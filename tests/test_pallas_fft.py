@@ -292,3 +292,133 @@ def test_donated_roundtrip_chain_in_scan():
     (orr, oii), _ = jax.lax.scan(step, (re, im), None, length=4)
     np.testing.assert_allclose(np.asarray(orr), np.asarray(re), atol=2e-4)
     np.testing.assert_allclose(np.asarray(oii), np.asarray(im), atol=2e-4)
+
+
+# ── column (axis=-2) kernel ──
+
+
+@pytest.mark.parametrize("n,m", [(256, 256), (1024, 384), (4096, 128)])
+def test_cols_kernel_matches_numpy(n, m):
+    from pragma_dsp_tpu.ops import fft_pallas_cols_permuted
+    from pragma_dsp_tpu.ops.fft_pallas import cols_permuted_to_natural
+
+    z = _cx((2, n, m))
+    p = fft_pallas_cols_permuted(_ca(z))
+    got = (np.asarray(cols_permuted_to_natural(p.real, n))
+           + 1j * np.asarray(cols_permuted_to_natural(p.imag, n)))
+    ref = np.fft.fft(z, axis=-2)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 110
+
+
+@pytest.mark.parametrize("prec,bound", [("highest", 120), ("bf16x3", 100)])
+def test_cols_kernel_precisions(prec, bound):
+    from pragma_dsp_tpu.ops import (fft_pallas_cols_permuted,
+                                    ifft_pallas_cols_from_permuted)
+
+    n, m = 512, 256
+    z = _cx((n, m))
+    p = fft_pallas_cols_permuted(_ca(z), precision=prec)
+    rt = ifft_pallas_cols_from_permuted(p, precision=prec).to_numpy_complex()
+    assert snr_db(np.stack([z.real, z.imag]),
+                  np.stack([rt.real, rt.imag])) > bound
+
+
+def test_cols_natural_wrappers_axis_minus_2():
+    """fft_pallas/ifft_pallas route axis=-2 through the column kernel
+    (no moveaxis of the data) with natural order both sides."""
+    n, m = 256, 192
+    z = _cx((3, n, m))
+    out = fft_pallas(_ca(z), axis=-2).to_numpy_complex()
+    ref = np.fft.fft(z, axis=-2)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([out.real, out.imag])) > 110
+    rt = ifft_pallas(_ca(out), axis=-2).to_numpy_complex()
+    assert np.abs(rt - z).max() < 1e-4
+
+
+def test_cols_fold_grids_match_explicit_multiply():
+    """The folded inter-stage twiddle equals an explicit post-multiply
+    (forward) / pre-multiply (inverse) of the permuted planes."""
+    from pragma_dsp_tpu.ops import (fft_pallas_cols_permuted,
+                                    ifft_pallas_cols_from_permuted)
+
+    n, m = 256, 128
+    z = _cx((n, m))
+    gc = RNG.standard_normal((n, m)).astype(np.float32)
+    gs = RNG.standard_normal((n, m)).astype(np.float32)
+    pf = fft_pallas_cols_permuted(_ca(z), fold_grids=(gc, gs))
+    pe = fft_pallas_cols_permuted(_ca(z))
+    np.testing.assert_allclose(
+        np.asarray(pf.real), np.asarray(pe.real) * gc
+        - np.asarray(pe.imag) * gs, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(pf.imag), np.asarray(pe.real) * gs
+        + np.asarray(pe.imag) * gc, atol=2e-4)
+    vi = ifft_pallas_cols_from_permuted(
+        ComplexArray(pf.real, pf.imag), fold_grids=(gc, gs))
+    pre = np.asarray(pf.real) * gc - np.asarray(pf.imag) * gs
+    pim = np.asarray(pf.real) * gs + np.asarray(pf.imag) * gc
+    ve = ifft_pallas_cols_from_permuted(
+        ComplexArray(jnp.asarray(pre), jnp.asarray(pim)))
+    np.testing.assert_allclose(np.asarray(vi.real), np.asarray(ve.real),
+                               atol=2e-4)
+
+
+# ── two-kernel large FFT (ops/fft_big.py) ──
+
+
+@pytest.mark.parametrize("n", [1 << 16, 1 << 18])
+def test_fft_big_matches_numpy(n):
+    from pragma_dsp_tpu.ops import fft_big, fft_big_permuted
+    from pragma_dsp_tpu.ops.fft_big import big_permuted_to_natural
+
+    z = _cx((n,))
+    ref = np.fft.fft(z)
+    p = fft_big_permuted(_ca(z))
+    n2b, n1b = p.real.shape[-2:]
+    got = (np.asarray(big_permuted_to_natural(p.real, n2b, n1b))
+           + 1j * np.asarray(big_permuted_to_natural(p.imag, n2b, n1b)))
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 115
+    nat = fft_big(_ca(z)).to_numpy_complex()
+    np.testing.assert_allclose(nat, got, rtol=0, atol=1e-3)
+
+
+@pytest.mark.parametrize("prec,bound", [("highest", 115), ("bf16x3", 100)])
+def test_fft_big_roundtrip(prec, bound):
+    from pragma_dsp_tpu.ops import fft_big_permuted, ifft_big_from_permuted
+
+    n = 1 << 16
+    z = _cx((2, n))
+    p = fft_big_permuted(_ca(z), precision=prec)
+    rt = ifft_big_from_permuted(p, precision=prec).to_numpy_complex()
+    assert snr_db(np.stack([z.real, z.imag]),
+                  np.stack([rt.real, rt.imag])) > bound
+
+
+def test_fft_big_split_and_validation():
+    from pragma_dsp_tpu.ops import big_split
+
+    assert big_split(1 << 20) == (1024, 1024)
+    assert big_split(1 << 16) == (256, 256)
+    assert big_split(1 << 21) == (1024, 2048)
+    with pytest.raises(ValueError):
+        big_split(1 << 10)
+    with pytest.raises(ValueError):
+        big_split((1 << 16) + 1)
+
+
+def test_dispatch_big_route():
+    """ops.fft at n >= MIN_BIG_N uses the two-kernel path when pinned
+    (auto keeps stockham off-TPU) and matches numpy in natural order."""
+    from pragma_dsp_tpu.ops import fft, ifft
+
+    n = 1 << 16
+    z = _cx((n,))
+    out = fft(_ca(z), impl="big").to_numpy_complex()
+    ref = np.fft.fft(z)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([out.real, out.imag])) > 115
+    rt = ifft(_ca(out), impl="big").to_numpy_complex()
+    assert np.abs(rt - z).max() < 2e-3
