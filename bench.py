@@ -77,32 +77,49 @@ def main() -> int:
         probe = xv[:1, :1] + amp[:1, :1] * jnp.asarray(1e-30, xv.dtype)
         return lax.dynamic_update_slice(xv, probe, (0, 0))
 
-    def timed(step, arg, iters):
+    def timed(step, arg, iters, repeats=5):
+        """Sorted per-run wall times of `repeats` chained-loop runs.
+
+        Round-3 VERDICT weak #1: one min-of-3 number cannot distinguish
+        shared-device variance from a real regression — every gated mode
+        now reports min/median/spread, and the JSON carries them."""
         @jax.jit
         def run(v):
             out = lax.fori_loop(0, iters, lambda _, c: step(c), v)
             return jnp.sum(out[::37])
         float(run(arg))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
+        times = []
+        for _ in range(repeats):
             t0 = time.perf_counter()
             float(run(arg))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return sorted(times)
+
+    def stats(times, iters):
+        per = [max((t - rtt) / iters, 1e-9) for t in times]
+        mn, md = per[0], per[len(per) // 2]
+        spread = (per[-1] - per[0]) / md
+        return dict(min_ms=round(mn * 1e3, 4), median_ms=round(md * 1e3, 4),
+                    spread_pct=round(100 * spread, 1))
 
     # RTT floor via an empty-ish loop on a tiny array.
     tiny = jnp.ones((8, 128))
-    rtt = timed(lambda v: v * 1.000001, tiny, 400)
+    rtt = timed(lambda v: v * 1.000001, tiny, 400)[0]
     log(f"dispatch RTT ~ {rtt*1e3:.1f} ms")
 
-    total = timed(pipeline, x, k)
-    per_iter = max((total - rtt) / k, 1e-9)
+    t_head = timed(pipeline, x, k)
+    head_stats = stats(t_head, k)
+    per_iter = head_stats["min_ms"] / 1e3
     msps = samples / per_iter / 1e6
+    log(f"headline timing: min {head_stats['min_ms']:.3f} ms  median "
+        f"{head_stats['median_ms']:.3f} ms  spread "
+        f"{head_stats['spread_pct']:.1f}%")
 
-    total_full = timed(pipeline_full, x, k)
-    per_full = max((total_full - rtt) / k, 1e-9)
+    t_full = timed(pipeline_full, x, k)
+    full_stats = stats(t_full, k)
+    per_full = full_stats["min_ms"] / 1e3
     log(f"full-f32 mode: {samples / per_full / 1e6:.0f} Msamples/s "
-        f"({per_full*1e3:.3f} ms/iter)")
+        f"({per_full*1e3:.3f} ms/iter, median {full_stats['median_ms']:.3f})")
 
     # guardrails: checksum, peak bin, and SNR of the fast path vs f64
     # numpy. These GATE: any failure emits "ok": false and exits 1
@@ -163,6 +180,130 @@ def main() -> int:
     if s_snr < 120.0:
         failures.append(f"small-n FFT SNR {s_snr:.1f} dB < 120 dB")
 
+    # ── configs 2-5 + 1M hardware SNR gates (round-3 VERDICT #3: the
+    # spectrogram/resampler/WBFM/PFB SNRs previously came from probe
+    # runs only — a precision regression in any of them would have
+    # shipped with ok=true). Each gate compares the production TPU f32
+    # path against an INDEPENDENT f64 oracle (numpy/scipy computed here,
+    # or the committed scipy fixtures), reference goldens-as-guardrails
+    # philosophy (reference PLAN.md:144-184). ──
+
+    def snr_of(ref, got):
+        ref = np.asarray(ref, np.float64)
+        got = np.asarray(got, np.float64)
+        return 10 * np.log10((ref ** 2).sum()
+                             / max(((got - ref) ** 2).sum(), 1e-300))
+
+    def gate(name, val, bound):
+        ok = val >= bound
+        log(f"GATE {name}: {val:.1f} dB (>= {bound:.0f}) "
+            f"{'PASS' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(f"{name} {val:.1f} dB < {bound:.0f} dB")
+
+    # config 2: 4096-pt 75%-overlap spectrogram of 10 s 48 kHz audio.
+    from pragma_dsp_tpu.stream import spectrogram_amplitude
+    fs = 48000.0
+    lsig = 480000 if backend == "tpu" else 48000
+    tt = np.arange(lsig) / fs
+    sig = (0.7 * np.sin(2 * np.pi * 997.0 * tt)
+           + 0.2 * np.sin(2 * np.pi * (4000.0 + 300.0 * tt) * tt)
+           + 0.01 * rng.standard_normal(lsig))
+    nspec, hop = 4096, 1024
+    amp_tpu = np.asarray(spectrogram_amplitude(
+        jnp.asarray(sig, jnp.float32), nspec, hop, "hann"))
+    frames = 1 + (lsig - nspec) // hop
+    wspec = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nspec) / (nspec - 1))
+    idx = np.arange(frames)[:, None] * hop + np.arange(nspec)[None, :]
+    ref_amp = np.abs(np.fft.rfft(sig[idx] * wspec, axis=-1))
+    scs = np.full(nspec // 2 + 1, 2.0 / nspec)
+    scs[0] = scs[-1] = 1.0 / nspec
+    ref_amp *= scs
+    gate("config2 spectrogram 4096/75%", snr_of(ref_amp, amp_tpu), 105.0)
+
+    # config 3: 48k->44.1k 127-tap polyphase resample vs the committed
+    # scipy fixture (tests/fixtures/dsp/resampler.json.gz).
+    from pragma_dsp_tpu.ops import upfirdn
+    from pragma_dsp_tpu.utils.fixtures import fixtures_dir, load_json
+    rs = load_json(os.path.join(fixtures_dir(), "dsp", "resampler.json"))
+    rs_snr = min(
+        snr_of(c["output"],
+               upfirdn(jnp.asarray(c["input"], jnp.float32),
+                       np.asarray(c["taps"]), c["up"], c["down"]))
+        for c in rs["cases"])
+    gate("config3 resampler 48k->44.1k", rs_snr, 100.0)
+
+    # config 4: WBFM chain vs an independent f64 scipy/numpy chain.
+    from scipy.signal import lfilter, upfirdn as sp_upfirdn
+    from pragma_dsp_tpu.models.fm_receiver import FmReceiver, wbfm_demod
+    liq = 1050000 if backend == "tpu" else 105000
+    tiq = np.arange(liq) / 2.4e6
+    msg = (0.7 * np.sin(2 * np.pi * 1000.0 * tiq)
+           + 0.2 * np.sin(2 * np.pi * 4000.0 * tiq))
+    ziq = np.exp(1j * (0.5 + 2 * np.pi * 75e3 * np.cumsum(msg) / 2.4e6))
+    rx = FmReceiver()
+    from pragma_dsp_tpu.core.complex import ComplexArray as _CA
+    audio_tpu = np.asarray(wbfm_demod(_CA(
+        jnp.asarray(ziq.real, jnp.float32),
+        jnp.asarray(ziq.imag, jnp.float32))))
+    chan = sp_upfirdn(rx._chan_taps, ziq, 1, 10)
+    prev = np.concatenate([[1.0 + 0.0j], chan[:-1]])
+    dphi = np.angle(chan * np.conj(prev))
+    xif = dphi * (240e3 / (2 * np.pi)) / 75e3
+    alpha = float(np.exp(-1.0 / (240e3 * 75e-6)))
+    yif = lfilter([1.0 - alpha], [1.0, -alpha], xif)
+    audio_ref = sp_upfirdn(rx._audio_taps, yif, 1, 5)
+    m = min(audio_ref.shape[0], audio_tpu.shape[-1])
+    gate("config4 WBFM chain", snr_of(audio_ref[:m], audio_tpu[:m]), 100.0)
+
+    # config 5: 256-channel PFB vs the generator-convention f64 oracle
+    # (scripts/gen_dsp_refs.py pfb_cases), f32 input path.
+    from pragma_dsp_tpu.ops import pfb_channelize, pfb_taps
+    cch, tpb, mfr = 256, 8, 512
+    niq = cch * mfr
+    zp = rng.standard_normal(niq) + 1j * rng.standard_normal(niq)
+    htaps = np.asarray(pfb_taps(cch, tpb), np.float64)
+    y_tpu = pfb_channelize(_CA(jnp.asarray(zp.real, jnp.float32),
+                               jnp.asarray(zp.imag, jnp.float32)), cch)
+    hp = np.zeros((tpb, cch))
+    hp.ravel()[:htaps.shape[0]] = htaps
+    xb = np.concatenate([np.zeros((tpb - 1) * cch, complex), zp])
+    xb = xb.reshape(tpb - 1 + mfr, cch)
+    v = np.zeros((mfr, cch), complex)
+    for t_ in range(tpb):
+        v += hp[t_] * xb[tpb - 1 - t_: tpb - 1 - t_ + mfr]
+    y_ref = np.fft.fft(v, axis=-1)
+    pfb_snr = 10 * np.log10(
+        (np.abs(y_ref) ** 2).sum()
+        / max(((np.asarray(y_tpu.real, np.float64) - y_ref.real) ** 2
+               + (np.asarray(y_tpu.imag, np.float64) - y_ref.imag) ** 2
+               ).sum(), 1e-300))
+    gate("config5 PFB 256ch", pfb_snr, 105.0)
+
+    # 1M-point two-kernel FFT (north-star long transform, BASELINE.json).
+    from pragma_dsp_tpu.ops import fft_big_permuted
+    from pragma_dsp_tpu.ops.fft_big import big_permuted_to_natural
+    n1m = 1 << 20 if backend == "tpu" else 1 << 16
+    z1m = rng.standard_normal(n1m) + 1j * rng.standard_normal(n1m)
+    p1m = fft_big_permuted(_CA(jnp.asarray(z1m.real, jnp.float32),
+                               jnp.asarray(z1m.imag, jnp.float32)))
+    n2b, n1b = p1m.real.shape[-2:]
+    got1m = (np.asarray(big_permuted_to_natural(p1m.real, n2b, n1b),
+                        np.float64)
+             + 1j * np.asarray(big_permuted_to_natural(p1m.imag, n2b, n1b),
+                               np.float64))
+    ref1m = np.fft.fft(z1m)
+    fft1m_snr = 10 * np.log10(
+        (np.abs(ref1m) ** 2).sum()
+        / max((np.abs(got1m - ref1m) ** 2).sum(), 1e-300))
+    gate(f"{n1m >> 10}k-pt fused FFT", fft1m_snr, 105.0)
+
+    # Throughput gate (round-3 VERDICT #2: a 2x perf regression must not
+    # ship green). 75 GS/s is ~0.85x the slowest of the r2/r3 headline
+    # captures on this shared device; only meaningful on real hardware.
+    if backend == "tpu" and msps < 75000.0:
+        failures.append(f"headline {msps:.0f} MS/s < 75000 MS/s floor")
+
     bytes_per_iter = batch * n * 4 + batch * (n // 2 + 1) * 4
     measured_bw = bytes_per_iter / per_iter
     log(f"measured HBM rate: {measured_bw/1e9:.0f} GB/s of "
@@ -173,6 +314,19 @@ def main() -> int:
         "unit": "Msamples/s",
         "vs_baseline": round(measured_bw / specs["hbm_bytes_per_s"], 4),
         "ok": not failures,
+        "timing": {"headline": head_stats, "full_f32": full_stats},
+        "gates": {
+            "headline_snr_db": round(snr, 1),
+            "roundtrip_snr_db": round(rt_snr, 1),
+            "small_n_snr_db": round(s_snr, 1),
+            "config2_spectrogram_snr_db": round(
+                snr_of(ref_amp, amp_tpu), 1),
+            "config3_resampler_snr_db": round(rs_snr, 1),
+            "config4_wbfm_snr_db": round(
+                snr_of(audio_ref[:m], audio_tpu[:m]), 1),
+            "config5_pfb_snr_db": round(pfb_snr, 1),
+            "fft_1m_snr_db": round(fft1m_snr, 1),
+        },
     }
     log(f"per-iter {per_iter*1e3:.3f} ms over batch {batch}x{n}")
     print(json.dumps(result))
