@@ -37,7 +37,7 @@ run in interpreter mode automatically.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,16 +91,25 @@ def _osconv_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
         o_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
 
 
-def _osconv_pair_kernel(fa_ref, fb_ref, hr_ref, hi_ref, *refs, n, n2, fast):
+def _osconv_pair_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
     """Two real frame sets convolved at once as z = a + ib (h real):
     ifft(fft(z) * H) = conv(a, h) + i conv(b, h). One complex pipeline,
-    two frames — half the MXU work per sample of the real kernel."""
-    oa_ref, ob_ref = refs[-2], refs[-1]
-    mmf, mmi = _unpack_consts(refs[:-2], fast)
+    two frames — half the MXU work per sample of the real kernel.
+
+    STACKED layout: f_ref / o_ref are (2, tb, n) blocks — plane 0 is
+    the first batch half, plane 1 the second. One input buffer and one
+    output buffer means the wrapper's (b, n) <-> (2, b/2, n) views are
+    free reshapes and donation aliases whole buffers; the round-3
+    layout (two separate half arrays concatenated after the call) paid
+    a full extra HBM pass per call for the concat PLUS a protective
+    copy when donating sliced operands — measured 0.496 ms vs 0.299 ms
+    for the identical kernel (bench/convprobe.py)."""
+    o_ref = refs[-1]
+    mmf, mmi = _unpack_consts(refs[:-1], fast)
     L = LANES
-    xs_r = [fa_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
+    xs_r = [f_ref[0, :, L * s:L * (s + 1)].astype(jnp.float32)
             for s in range(n2)]
-    xs_i = [fb_ref[:, L * s:L * (s + 1)].astype(jnp.float32)
+    xs_i = [f_ref[1, :, L * s:L * (s + 1)].astype(jnp.float32)
             for s in range(n2)]
     rows = []
     for u, zre, zim in _fwd_rows_fused(xs_r, xs_i, mmf, n2):
@@ -108,10 +117,10 @@ def _osconv_pair_kernel(fa_ref, fb_ref, hr_ref, hi_ref, *refs, n, n2, fast):
         hi_ = hi_ref[u:u + 1, :]
         rows.append((u, zre * hr - zim * hi_, zre * hi_ + zim * hr))
     xr, xi = _inv_planes_fused(rows, mmi, n2)
-    odt = oa_ref.dtype
+    odt = o_ref.dtype
     for s_ in range(n2):
-        oa_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
-        ob_ref[:, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
+        o_ref[0, :, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
+        o_ref[1, :, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
 
 
 @functools.partial(jax.jit,
@@ -150,37 +159,41 @@ def _osconv_2d(frames: Array, hre: Array, him: Array, n: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "interpret", "precision", "donate"))
-def _osconv_pair_2d(fa: Array, fb: Array, hre: Array, him: Array, n: int,
+def _osconv_pair_2d(f3: Array, hre: Array, him: Array, n: int,
                     interpret: bool, precision: str,
-                    donate: bool = False) -> Tuple[Array, Array]:
-    batch = fa.shape[0]
+                    donate: bool = False) -> Array:
+    """f3: (2, batch/2, n) stacked halves in and out (free views of the
+    caller's (batch, n) buffer — see _osconv_pair_kernel)."""
+    batch = f3.shape[1]
     tb = _pick_tile(batch, n)
-    (fa, fb), padded = _pad_batch((fa, fb), batch, tb)
+    padded = -(-batch // tb) * tb
+    if padded != batch:
+        f3 = jnp.pad(f3, ((0, 0), (0, padded - batch), (0, 0)))
     fwd = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, False, precision)]
     inv = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, True, precision)]
     consts = fwd + inv
     n2 = n // LANES
     kernel = functools.partial(_osconv_pair_kernel, n=n, n2=n2,
                                fast=(precision == "bf16x3"))
-    spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((2, tb, n), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_tuning()["vmem_limit_bytes"])
     if donate:
-        kw["input_output_aliases"] = {0: 0, 1: 1}
-    out_shape = [jax.ShapeDtypeStruct((padded, n), fa.dtype)] * 2
-    ya, yb = pl.pallas_call(
+        kw["input_output_aliases"] = {0: 0}
+    out = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
-        in_specs=[spec, spec, _const_spec(hre), _const_spec(him)]
+        in_specs=[spec, _const_spec(hre), _const_spec(him)]
         + [_const_spec(c) for c in consts],
-        out_specs=[spec, spec],
-        out_shape=out_shape,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((2, padded, n), f3.dtype),
         interpret=interpret,
         **kw,
-    )(fa, fb, hre, him, *consts)
-    return ya[:batch], yb[:batch]
+    )(f3, hre, him, *consts)
+    return out[:, :batch]
 
 
 def circular_convolve_pallas(frames, hspec_permuted, n: int,
@@ -221,16 +234,18 @@ def circular_convolve_pallas(frames, hspec_permuted, n: int,
     f2 = frames.reshape(-1, n)
     b = f2.shape[0]
     if b >= 2:
-        # Pair first/second batch halves as one complex signal. An odd
-        # batch pads one zero frame (dropped after); halves concat back
-        # in natural order — no interleave, all free slices.
+        # Pair first/second batch halves as one complex signal, via the
+        # FREE (b, n) <-> (2, b/2, n) view: one stacked buffer in, one
+        # out, so natural order needs no concat and donation aliases
+        # whole buffers (an odd batch pads one zero frame, dropped
+        # after).
         be = b + (b % 2)
         if be != b:
             f2 = jnp.pad(f2, ((0, 1), (0, 0)))
         h2 = be // 2
-        ya, yb = _osconv_pair_2d(f2[:h2], f2[h2:], hre, him, n, interp,
-                                 precision, donate)
-        out = jnp.concatenate([ya, yb], axis=0)[:b]
+        y3 = _osconv_pair_2d(f2.reshape(2, h2, n), hre, him, n, interp,
+                             precision, donate)
+        out = y3.reshape(be, n)[:b]
     else:
         out = _osconv_2d(f2, hre, him, n, interp, precision, donate)
     return out.reshape(shape)
