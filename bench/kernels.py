@@ -38,7 +38,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write-baseline", action="store_true",
                     help="rewrite the kernel table section in BASELINE.md")
+    ap.add_argument("--floors", action="store_true",
+                    help="re-run the load-bearing floor A/Bs behind "
+                         "BASELINE.md's claims (exit 1 on inversion)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -342,6 +350,105 @@ def main():
           f"GB/s  f32 {specs['f32_flops']/1e12:.0f} TF/s  "
           f"bf16 {specs['bf16_flops']/1e12:.0f} TF/s", flush=True)
 
+    # ── --floors: re-run the load-bearing floor A/Bs (round-3 VERDICT
+    # #9: the probe evidence behind BASELINE's floor claims must not rot
+    # as one-shot scripts). Each check either re-verifies the design
+    # choice or fails the run. ──
+    floor_failures = []
+    if args.floors:
+        print("== floors: load-bearing A/Bs ==", flush=True)
+
+        # (1) spectrum corner-turn strategy (bench/specprobe.py study):
+        # the shipped policy is in-kernel MXU turn for n2 <= 16, XLA
+        # pair-packed transpose above. Measure both at the boundary
+        # sizes and verify the policy still picks the winner (10%
+        # tolerance band for shared-device variance).
+        from pragma_dsp_tpu.ops.fft_pallas import (
+            _permuted_pairs_to_natural, _spectrum_amp_onesided)
+        for nft in ((1024, 4096) if big else (1024,)):
+            bt = (4096 if big else 64)
+            fx = jnp.asarray(rng.standard_normal((bt, nft)), jnp.float32)
+            times = {}
+            for strat in ("kernel", "xla"):
+                # Consume via a full fused reduction, like production
+                # spectrogram consumers: a 1-element probe would let
+                # XLA DCE most of the xla-strategy restore and skew the
+                # A/B (measured 0.698 "xla" with a probe-slice consumer
+                # vs 0.346 with a sum consumer at n=4096).
+                def sstep(v, _s=strat):
+                    amp = _spectrum_amp_onesided(v, nft, "hann", interp,
+                                                 "bf16x3", False, _s)
+                    if _s == "xla":
+                        amp = _permuted_pairs_to_natural(amp, nft)
+                    s = jnp.sum(amp)
+                    probe = v[:1, :1] + s * jnp.asarray(1e-30, v.dtype)
+                    return (lax.dynamic_update_slice(v, probe, (0, 0)),)
+                times[strat] = (timed(sstep, (fx,), k4) - rtt) / k4
+            from pragma_dsp_tpu.ops.fft_pallas import _turn_strategy
+            chosen = _turn_strategy(nft // 128)
+            other = "xla" if chosen == "kernel" else "kernel"
+            ok = times[chosen] <= times[other] * 1.10
+            print(f"FLOOR turn@{nft}: kernel {times['kernel']*1e3:.3f} ms "
+                  f"vs xla {times['xla']*1e3:.3f} ms, policy={chosen} "
+                  f"{'OK' if ok else 'INVERTED'}", flush=True)
+            if not ok and big:
+                # interpret-mode timings off-TPU say nothing about the
+                # policy; the A/B still exercises both code paths there.
+                floor_failures.append(f"turn strategy inverted at n={nft}")
+
+        # (2) WBFM banded-path lowering guard (bench/wbfmprobe.py root
+        # cause): no conv_general_dilated may appear in the receiver's
+        # jaxpr — the dilated-conv fallback measured ~100x slower.
+        wjx = str(jax.make_jaxpr(lambda a, b: wbfm_demod(
+            ComplexArray(a, b), iq_rate=2.4e6))(wb_re[:168000],
+                                                wb_im[:168000]))
+        okw = "conv_general_dilated" not in wjx
+        print(f"FLOOR wbfm banded lowering: "
+              f"{'OK (no dilated conv)' if okw else 'REGRESSED'}",
+              flush=True)
+        if not okw:
+            floor_failures.append("wbfm fell onto the dilated-conv path")
+
+        # (3) resampler formulation A/B (BASELINE config-3 floor study):
+        # the banded MXU matmul vs the dilated-conv lowering of the same
+        # upfirdn. The claim is >= 20x; re-verify at reduced length
+        # (the conv path runs ~100x slower, so it gets 2 iterations).
+        if big:
+            from pragma_dsp_tpu.ops.polyphase import (_upfirdn_conv,
+                                                      resampler_taps)
+            rtaps = np.asarray(resampler_taps(147, 160, 1177))
+            short = sig[: 1 << 19]
+            t_band = (timed(chained(lambda v: resample_poly(
+                v, 147, 160, num_taps=1177)), (short, acc0), k4) - rtt) / k4
+            kconv = 2
+            t_conv = (timed(chained(lambda v: _upfirdn_conv(
+                v, jnp.asarray(rtaps), 147, 160)), (short, acc0),
+                kconv) - rtt) / kconv
+            ratio = t_conv / t_band
+            okr = ratio >= 20.0
+            print(f"FLOOR resampler banded vs dilated-conv: "
+                  f"{t_band*1e3:.3f} vs {t_conv*1e3:.2f} ms ({ratio:.0f}x) "
+                  f"{'OK' if okr else 'NARROWED'}", flush=True)
+            if not okr:
+                floor_failures.append(
+                    f"banded-vs-conv advantage fell to {ratio:.0f}x")
+
+        # (4) fused-conv MXU-floor fraction (bench/convprobe.py study):
+        # the shipped pair op must stay >= 70% of its bf16x3 MXU dot
+        # floor (the stacked-layout fix took it from 52% to ~80%).
+        conv_row = next(r for r in rows
+                        if r["name"].startswith("fused circular conv bf16x3"))
+        mxu_frac = conv_row["mxu_pct"]
+        okc = mxu_frac is not None and mxu_frac >= 70.0
+        print(f"FLOOR fused conv mxu fraction: {mxu_frac:.0f}% "
+              f"{'OK' if okc else 'BELOW 70%'}", flush=True)
+        if not okc and big:
+            floor_failures.append(f"fused conv at {mxu_frac:.0f}% MXU")
+
+        if floor_failures:
+            print("FLOORS FAILED: " + "; ".join(floor_failures),
+                  flush=True)
+
     if args.write_baseline and big:
         lines = [
             _MARK_BEGIN,
@@ -376,6 +483,8 @@ def main():
         open(path, "w").write(text)
         print(f"wrote kernel table into {path}", flush=True)
 
+    return 1 if floor_failures else 0
+
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -1337,10 +1337,11 @@ def _onesided_body(xs, p_ref, refs, *, n, n2, fast, with_phase, turn):
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "window", "interpret", "precision",
-                                    "with_phase"))
+                                    "with_phase", "turn"))
 def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
                            precision: str = "highest",
-                           with_phase: bool = False):
+                           with_phase: bool = False,
+                           turn: Optional[str] = None):
     """Fused one-sided amplitude (and optionally phase) spectrum, natural
     bin order: [batch, n//2+1].
 
@@ -1365,7 +1366,8 @@ def _spectrum_amp_onesided(x: Array, n: int, window: str, interpret: bool,
     spec_in = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((tb, bins), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    turn = _turn_strategy(n2)
+    if turn is None:
+        turn = _turn_strategy(n2)
     kernel = functools.partial(_spectrum_onesided_kernel, n=n, n2=n2,
                                fast=(precision == "bf16x3"),
                                with_phase=with_phase, turn=turn)

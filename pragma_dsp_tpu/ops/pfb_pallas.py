@@ -155,13 +155,25 @@ def _pfb_2d(xr: Array, xi: Array, hp: Array, c: int, t_taps: int,
     if padded != m:
         xr = jnp.pad(xr, ((0, padded - m), (0, 0)))
         xi = jnp.pad(xi, ((0, padded - m), (0, 0)))
-    # halo[i] = frames [i*tb - h8, i*tb) (zero history before the start):
-    # a strided slice of the top-padded frame array — ~h8/tb extra reads.
-    xtop_r = jnp.pad(xr, ((h8, 0), (0, 0)))[:padded]
-    xtop_i = jnp.pad(xi, ((h8, 0), (0, 0)))[:padded]
     nb = padded // tb
-    halo_r = xtop_r.reshape(nb, tb, c)[:, :h8]
-    halo_i = xtop_i.reshape(nb, tb, c)[:, :h8]
+    # halo[i] = frames [i*tb - h8, i*tb) (zero history before the start)
+    # = the previous block's tail: a strided slice of the FREE (nb, tb,
+    # c) view. The round-3 construction (top-pad the whole frame array,
+    # then slice) materialised a full-size padded copy per plane just to
+    # extract nb*h8 rows — measured ~0.03 ms of the shipped op's 0.2 ms
+    # at config-5 scale.
+    if h8 <= tb:
+        blocks_r = xr.reshape(nb, tb, c)
+        blocks_i = xi.reshape(nb, tb, c)
+        zrow = jnp.zeros((1, h8, c), xr.dtype)
+        halo_r = jnp.concatenate([zrow, blocks_r[:-1, tb - h8:]], axis=0)
+        halo_i = jnp.concatenate([zrow, blocks_i[:-1, tb - h8:]], axis=0)
+    else:                           # halo spans several blocks: gather
+        idx = (np.arange(nb)[:, None] * tb - h8 + np.arange(h8)[None, :])
+        valid = jnp.asarray(idx >= 0)[..., None]
+        gidx = jnp.asarray(np.maximum(idx, 0))
+        halo_r = jnp.where(valid, xr[gidx], 0)
+        halo_i = jnp.where(valid, xi[gidx], 0)
 
     consts = [jnp.asarray(k) for k in _fft_plan(c, False, precision)]
     if n2 > 1:
@@ -221,6 +233,11 @@ def pfb_channelize_pallas(x: ComplexArray, taps, channels: int,
     m = length // c
     xr = x.real.reshape(-1, m, c)
     xi = x.imag.reshape(-1, m, c)
+    if xr.shape[0] == 1:
+        # the common stream case: no per-batch loop, no stack copy
+        ore, oim = _pfb_2d(xr[0], xi[0], hp, c, t_taps, interp, precision)
+        return ComplexArray(ore.reshape(batch + (m, c)),
+                            oim.reshape(batch + (m, c)))
     outs = [ _pfb_2d(xr[b], xi[b], hp, c, t_taps, interp, precision)
              for b in range(xr.shape[0]) ]
     ore = jnp.stack([o[0] for o in outs]).reshape(batch + (m, c))
