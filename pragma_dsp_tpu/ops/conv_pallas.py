@@ -91,25 +91,29 @@ def _osconv_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
         o_ref[:, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
 
 
-def _osconv_pair_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
+def _osconv_pair_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, tb, fast):
     """Two real frame sets convolved at once as z = a + ib (h real):
     ifft(fft(z) * H) = conv(a, h) + i conv(b, h). One complex pipeline,
     two frames — half the MXU work per sample of the real kernel.
 
-    STACKED layout: f_ref / o_ref are (2, tb, n) blocks — plane 0 is
-    the first batch half, plane 1 the second. One input buffer and one
-    output buffer means the wrapper's (b, n) <-> (2, b/2, n) views are
-    free reshapes and donation aliases whole buffers; the round-3
-    layout (two separate half arrays concatenated after the call) paid
-    a full extra HBM pass per call for the concat PLUS a protective
-    copy when donating sliced operands — measured 0.496 ms vs 0.299 ms
-    for the identical kernel (bench/convprobe.py)."""
+    IN-BLOCK pairing: f_ref / o_ref are (2*tb, n) blocks of the FLAT
+    (batch, n) frame array; rows [0, tb) pair with rows [tb, 2tb) as
+    the real/imag planes (free contiguous VMEM slices). Which rows pair
+    is semantically arbitrary (each frame is independent), and pairing
+    inside the block keeps the operand and output FLAT in natural
+    order: no (2, b/2, n) view, no half-array concat, whole-buffer
+    donation. The two rejected layouts both measured a full extra HBM
+    pass in real pipelines (bench/convprobe.py + the FIR composition
+    A/B): separate half arrays pay a concat + sliced-donation copies
+    (0.496 vs 0.299 ms standalone), and a stacked (2, b/2, n) operand
+    pays reshape copies around the custom call (0.208 vs 0.131 ms on
+    the 4.2M FIR127 row)."""
     o_ref = refs[-1]
     mmf, mmi = _unpack_consts(refs[:-1], fast)
     L = LANES
-    xs_r = [f_ref[0, :, L * s:L * (s + 1)].astype(jnp.float32)
+    xs_r = [f_ref[:tb, L * s:L * (s + 1)].astype(jnp.float32)
             for s in range(n2)]
-    xs_i = [f_ref[1, :, L * s:L * (s + 1)].astype(jnp.float32)
+    xs_i = [f_ref[tb:, L * s:L * (s + 1)].astype(jnp.float32)
             for s in range(n2)]
     rows = []
     for u, zre, zim in _fwd_rows_fused(xs_r, xs_i, mmf, n2):
@@ -119,8 +123,8 @@ def _osconv_pair_kernel(f_ref, hr_ref, hi_ref, *refs, n, n2, fast):
     xr, xi = _inv_planes_fused(rows, mmi, n2)
     odt = o_ref.dtype
     for s_ in range(n2):
-        o_ref[0, :, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
-        o_ref[1, :, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
+        o_ref[:tb, L * s_:L * (s_ + 1)] = xr[s_].astype(odt)
+        o_ref[tb:, L * s_:L * (s_ + 1)] = xi[s_].astype(odt)
 
 
 @functools.partial(jax.jit,
@@ -159,23 +163,25 @@ def _osconv_2d(frames: Array, hre: Array, him: Array, n: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "interpret", "precision", "donate"))
-def _osconv_pair_2d(f3: Array, hre: Array, him: Array, n: int,
+def _osconv_pair_2d(f2: Array, hre: Array, him: Array, n: int,
                     interpret: bool, precision: str,
                     donate: bool = False) -> Array:
-    """f3: (2, batch/2, n) stacked halves in and out (free views of the
-    caller's (batch, n) buffer — see _osconv_pair_kernel)."""
-    batch = f3.shape[1]
+    """f2: FLAT (batch, n) frames in and out, natural order; each
+    (2*tb, n) grid block pairs its two tb-row halves internally (see
+    _osconv_pair_kernel)."""
+    batch = f2.shape[0]
     tb = _pick_tile(batch, n)
-    padded = -(-batch // tb) * tb
+    blk = 2 * tb
+    padded = -(-batch // blk) * blk
     if padded != batch:
-        f3 = jnp.pad(f3, ((0, 0), (0, padded - batch), (0, 0)))
+        f2 = jnp.pad(f2, ((0, padded - batch), (0, 0)))
     fwd = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, False, precision)]
     inv = [jnp.asarray(c) for c in _fft_plan_fused_rows(n, True, precision)]
     consts = fwd + inv
     n2 = n // LANES
-    kernel = functools.partial(_osconv_pair_kernel, n=n, n2=n2,
+    kernel = functools.partial(_osconv_pair_kernel, n=n, n2=n2, tb=tb,
                                fast=(precision == "bf16x3"))
-    spec = pl.BlockSpec((2, tb, n), lambda i: (0, i, 0),
+    spec = pl.BlockSpec((blk, n), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     kw = {}
     if not interpret:
@@ -185,15 +191,15 @@ def _osconv_pair_2d(f3: Array, hre: Array, him: Array, n: int,
         kw["input_output_aliases"] = {0: 0}
     out = pl.pallas_call(
         kernel,
-        grid=(padded // tb,),
+        grid=(padded // blk,),
         in_specs=[spec, _const_spec(hre), _const_spec(him)]
         + [_const_spec(c) for c in consts],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((2, padded, n), f3.dtype),
+        out_shape=jax.ShapeDtypeStruct((padded, n), f2.dtype),
         interpret=interpret,
         **kw,
-    )(f3, hre, him, *consts)
-    return out[:, :batch]
+    )(f2, hre, him, *consts)
+    return out[:batch]
 
 
 def circular_convolve_pallas(frames, hspec_permuted, n: int,
@@ -234,18 +240,11 @@ def circular_convolve_pallas(frames, hspec_permuted, n: int,
     f2 = frames.reshape(-1, n)
     b = f2.shape[0]
     if b >= 2:
-        # Pair first/second batch halves as one complex signal, via the
-        # FREE (b, n) <-> (2, b/2, n) view: one stacked buffer in, one
-        # out, so natural order needs no concat and donation aliases
-        # whole buffers (an odd batch pads one zero frame, dropped
-        # after).
-        be = b + (b % 2)
-        if be != b:
-            f2 = jnp.pad(f2, ((0, 1), (0, 0)))
-        h2 = be // 2
-        y3 = _osconv_pair_2d(f2.reshape(2, h2, n), hre, him, n, interp,
-                             precision, donate)
-        out = y3.reshape(be, n)[:b]
+        # Pair kernel: each grid block pairs its two halves internally,
+        # so the frames stay one flat natural-order buffer end-to-end
+        # (the batch pads up to a whole 2*tb block; garbage rows are
+        # sliced off).
+        out = _osconv_pair_2d(f2, hre, him, n, interp, precision, donate)
     else:
         out = _osconv_2d(f2, hre, him, n, interp, precision, donate)
     return out.reshape(shape)

@@ -115,12 +115,6 @@ def overlap_save_filter(x: Array, taps: Array,
     o = -(-(k - 1) // LANES) * LANES if use_pallas else k - 1
     hop = n - o
     n_blocks = -(-length // hop)
-    if use_pallas:
-        # Even block count: the fused pair kernel views the batch as
-        # (2, b/2, n) stacked halves — an odd count forces a pad-row +
-        # slice copy of the whole frame array (measured +0.08 ms on the
-        # 4.2M FIR127 row). One extra all-garbage block is ~0.02%.
-        n_blocks += n_blocks % 2
 
     # Left-pad with the o-sample zero history + right-pad to whole blocks.
     pad_right = n_blocks * hop - length
