@@ -369,21 +369,23 @@ def main():
             bt = (4096 if big else 64)
             fx = jnp.asarray(rng.standard_normal((bt, nft)), jnp.float32)
             times = {}
+            # The A/B must MATERIALISE the natural-order output (a
+            # second loop carry), like the product contract: a fused-sum
+            # consumer lets the xla-strategy restore fuse to nothing
+            # (xla "wins" everywhere), while a 1-element probe lets XLA
+            # DCE it (kernel "wins" everywhere) — both skew the choice
+            # the shipped policy actually faces.
+            amp0 = jnp.zeros((bt, nft // 2 + 1), jnp.float32)
             for strat in ("kernel", "xla"):
-                # Consume via a full fused reduction, like production
-                # spectrogram consumers: a 1-element probe would let
-                # XLA DCE most of the xla-strategy restore and skew the
-                # A/B (measured 0.698 "xla" with a probe-slice consumer
-                # vs 0.346 with a sum consumer at n=4096).
-                def sstep(v, _s=strat):
+                def sstep(v, _a, _s=strat):
                     amp = _spectrum_amp_onesided(v, nft, "hann", interp,
                                                  "bf16x3", False, _s)
                     if _s == "xla":
                         amp = _permuted_pairs_to_natural(amp, nft)
-                    s = jnp.sum(amp)
-                    probe = v[:1, :1] + s * jnp.asarray(1e-30, v.dtype)
-                    return (lax.dynamic_update_slice(v, probe, (0, 0)),)
-                times[strat] = (timed(sstep, (fx,), k4) - rtt) / k4
+                    probe = v[:1, :1] + amp[:1, :1] * jnp.asarray(
+                        1e-30, v.dtype)
+                    return lax.dynamic_update_slice(v, probe, (0, 0)), amp
+                times[strat] = (timed(sstep, (fx, amp0), k4) - rtt) / k4
             from pragma_dsp_tpu.ops.fft_pallas import _turn_strategy
             chosen = _turn_strategy(nft // 128)
             other = "xla" if chosen == "kernel" else "kernel"
