@@ -79,7 +79,8 @@ def _twiddles_fwd(n, n2, n1, sign, dtype):
 @functools.lru_cache(maxsize=128)
 def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
                     dtype_name: str, inverse: bool, chunks: int,
-                    batch_axis: Optional[str] = None):
+                    batch_axis: Optional[str] = None,
+                    cols_fold: bool = False):
     """Build + jit the shard_map'd transform once per static signature,
     so repeated dist_fft calls hit the compilation cache instead of
     retracing (shard_map closures are not cached by identity).
@@ -146,18 +147,49 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
         in_spec = (P(*lead, None, axis), P(*lead, None, axis))
         out_spec = (P(*lead, axis, None), P(*lead, axis, None))
 
+        # Steps 1+2 fused: when the column kernel covers n2, the
+        # inter-stage twiddle W^(n1*k2) rides its output store as a
+        # fold grid (ops/fft_pallas.py) in the kernel's permuted
+        # sublane layout — fft_big's grid builder emits exactly that
+        # layout — and one sublane restore replaces the separate
+        # twiddle multiply. Measured NEUTRAL on one chip (0.076 ->
+        # 0.074 ms at 1M points: XLA already fused the elementwise
+        # twiddle into the restore transpose); kept because it pins the
+        # operation order the 105 dB gate measures and exercises the
+        # fold contract under shard_map. The decision is made by the
+        # caller (dist_fft) so it participates in this builder's cache
+        # key.
+        use_cols_fold = cols_fold
+        if use_cols_fold:
+            from ..ops.fft_big import _interstage_grids
+            gc_full, gs_full = _interstage_grids(n2, n1, sign)
+
         def body_fixed(xr, xi):
             b = xr.shape[:-2]
             nb = len(b)
-            # 1. local DFT over n2 (full columns of the n1-shard).
-            o = _fft(ComplexArray(xr, xi), axis=-2)
-            rr, ii = o.real, o.imag            # (..., k2, n1_local)
-            # 2. twiddle W^(n1*k2), n1 columns of this device.
             n1_off = jax.lax.axis_index(axis) * (n1 // d)
-            tc = jax.lax.dynamic_slice_in_dim(tc_full, n1_off, n1 // d, 1)
-            ts = jax.lax.dynamic_slice_in_dim(ts_full, n1_off, n1 // d, 1)
-            tr = rr * tc - ii * ts
-            ti = rr * ts + ii * tc
+            if use_cols_fold:
+                from ..ops.fft_pallas import (cols_permuted_to_natural,
+                                              fft_pallas_cols_permuted)
+                gc = jax.lax.dynamic_slice_in_dim(
+                    _jnp.asarray(gc_full), n1_off, n1 // d, 1)
+                gs = jax.lax.dynamic_slice_in_dim(
+                    _jnp.asarray(gs_full), n1_off, n1 // d, 1)
+                o = fft_pallas_cols_permuted(ComplexArray(xr, xi),
+                                             fold_grids=(gc, gs))
+                tr = cols_permuted_to_natural(o.real, n2)
+                ti = cols_permuted_to_natural(o.imag, n2)
+            else:
+                # 1. local DFT over n2 (full columns of the n1-shard).
+                o = _fft(ComplexArray(xr, xi), axis=-2)
+                rr, ii = o.real, o.imag        # (..., k2, n1_local)
+                # 2. twiddle W^(n1*k2), n1 columns of this device.
+                tc = jax.lax.dynamic_slice_in_dim(tc_full, n1_off,
+                                                  n1 // d, 1)
+                ts = jax.lax.dynamic_slice_in_dim(ts_full, n1_off,
+                                                  n1 // d, 1)
+                tr = rr * tc - ii * ts
+                ti = rr * ts + ii * tc
             # 3+4. chunked corner turn (n2, n1/D) -> (n2/D, n1) over
             # output-row chunks, interleaved with the local row DFTs:
             # chunk c+1's all_to_all is independent of chunk c's FFT, so
@@ -242,8 +274,17 @@ def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
         raise ValueError(
             f"chunks={chunks} must divide the local corner-turn extent "
             f"{extent}")
+    from ..core.complex import is_power_of_two as _ispow2
+    from ..ops.dispatch import get_fft_impl as _impl
+    from ..ops.fft_pallas import MAX_COLS_N as _maxcols
+    cols_fold = (
+        not inverse and 128 < n2 <= _maxcols and _ispow2(n2)
+        and xc.real.dtype == jnp.float32
+        and (_impl() == "pallas"
+             or (_impl() == "auto" and jax.default_backend() == "tpu")))
     fn = _build_dist_fft(mesh, axis, n2, n1, xc.real.ndim,
-                         str(xc.real.dtype), inverse, chunks, batch_axis)
+                         str(xc.real.dtype), inverse, chunks, batch_axis,
+                         cols_fold)
     ore, oim = fn(xc.real, xc.imag)
     return ComplexArray(ore, oim)
 

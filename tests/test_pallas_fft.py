@@ -422,3 +422,29 @@ def test_dispatch_big_route():
                   np.stack([out.real, out.imag])) > 115
     rt = ifft(_ca(out), impl="big").to_numpy_complex()
     assert np.abs(rt - z).max() < 2e-3
+
+
+def test_fft_big_donated_roundtrip_chain_in_scan():
+    """The two-kernel large-FFT path under lax.scan with donation: the
+    production streaming loop shape (same contract as the row-kernel
+    scan test above) — donation through the column+row kernel chain
+    must not corrupt the carry."""
+    import jax
+
+    from pragma_dsp_tpu.ops import fft_big_permuted, ifft_big_from_permuted
+
+    n = 1 << 16
+    rng = np.random.default_rng(31)
+    re = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+
+    def step(c, _):
+        p = fft_big_permuted(ComplexArray(c[0], c[1]), interpret=True,
+                             precision="highest", donate=True)
+        o = ifft_big_from_permuted(p, interpret=True, precision="highest",
+                                   donate=True)
+        return (o.real, o.imag), None
+
+    (orr, oii), _ = jax.lax.scan(step, (re, im), None, length=3)
+    np.testing.assert_allclose(np.asarray(orr), np.asarray(re), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(oii), np.asarray(im), atol=3e-4)

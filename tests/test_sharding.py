@@ -473,3 +473,28 @@ def test_sharded_wbfm_stays_on_banded_path(mesh):
         lambda a, b: sharded_wbfm_demod(ComplexArray(a, b), mesh))(
             xc.real, xc.imag))
     assert "conv_general_dilated" not in jaxpr
+
+
+def test_dist_fft_cols_fold_path(mesh):
+    """The fused column-stage path (inter-stage twiddle folded into the
+    column Pallas kernel, pinned via set_fft_impl('pallas')) matches
+    numpy and the default path bit-for-bit in intent (SNR-bounded f32:
+    the fold changes operation ORDER, not the math)."""
+    from pragma_dsp_tpu.ops import set_fft_impl
+
+    n = 1 << 16
+    n2, n1 = dist_fft_shape(n, 8)
+    assert n2 > 128                    # fold path requires a col kernel
+    z = RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    xv = z.reshape(n2, n1)
+    xc = ComplexArray(jnp.asarray(xv.real, jnp.float32),
+                      jnp.asarray(xv.imag, jnp.float32))
+    set_fft_impl("pallas")
+    try:
+        p = dist_fft(xc, mesh)
+    finally:
+        set_fft_impl("auto")
+    got = permuted_to_natural_host(p)
+    ref = np.fft.fft(z)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 100
