@@ -374,14 +374,14 @@ def main():
             # consumer lets the xla-strategy restore fuse to nothing
             # (xla "wins" everywhere), while a 1-element probe lets XLA
             # DCE it (kernel "wins" everywhere) — both skew the choice
-            # the shipped policy actually faces.
+            # the shipped policy actually faces. NOTE
+            # _spectrum_amp_onesided already restores natural order
+            # internally when turn="xla" — no second restore here.
             amp0 = jnp.zeros((bt, nft // 2 + 1), jnp.float32)
             for strat in ("kernel", "xla"):
                 def sstep(v, _a, _s=strat):
                     amp = _spectrum_amp_onesided(v, nft, "hann", interp,
                                                  "bf16x3", False, _s)
-                    if _s == "xla":
-                        amp = _permuted_pairs_to_natural(amp, nft)
                     probe = v[:1, :1] + amp[:1, :1] * jnp.asarray(
                         1e-30, v.dtype)
                     return lax.dynamic_update_slice(v, probe, (0, 0)), amp

@@ -98,8 +98,12 @@ class FmReceiver:
                                    deviation=c.deviation)
         if stream_start_if is not None and stream_start_if > 0:
             i = stream_start_if
-            scale = c.if_rate / (2.0 * np.pi) / c.deviation
-            fix = jnp.arctan2(chan.imag[..., i], chan.real[..., i]) * scale
+            # Same rounding ORDER as fm_discriminate (multiply by
+            # fs/(2 pi), then divide by deviation) so the recomputed
+            # sample is bit-identical to the batch chain, not ~1 ulp
+            # off from a pre-combined scale.
+            fix = (jnp.arctan2(chan.imag[..., i], chan.real[..., i])
+                   * (c.if_rate / (2.0 * np.pi))) / c.deviation
             if stream_start_mask is not None:
                 fix = jnp.where(stream_start_mask, fix, audio_if[..., i])
             audio_if = audio_if.at[..., i].set(fix)

@@ -73,13 +73,6 @@ def get_fft_precision() -> str:
     return _precision
 
 
-# Row-kernel practical ceiling: beyond this the trace-time plane
-# recursion and per-block VMEM footprint stop paying; n >= MIN_BIG_N
-# takes the two-kernel fft_big path instead (2.5 HBM passes vs the jnp
-# fourstep's ~6 at 2^20).
-_MAX_PALLAS_ROW_N = 16384
-
-
 def _resolve(xc: ComplexArray, axis: int) -> str:
     if _impl != "auto":
         return _impl
@@ -92,10 +85,14 @@ def _resolve(xc: ComplexArray, axis: int) -> str:
         return "fourstep"
     ax = axis % xc.real.ndim
     if ax == xc.real.ndim - 1:
-        if n <= _MAX_PALLAS_ROW_N:
+        from .fft_pallas import MAX_COLS_N, MAX_ROWS_N
+        if n <= MAX_ROWS_N:
             return "pallas"
         from .fft_big import MIN_BIG_N
-        if n >= MIN_BIG_N:
+        # fft_big covers n = n2b * n1b with n2b <= MAX_COLS_N and
+        # n1b <= MAX_ROWS_N; beyond that (n > 2^26) fall back to the
+        # recursive jnp fourstep rather than crash in big_split.
+        if MIN_BIG_N <= n <= MAX_COLS_N * MAX_ROWS_N:
             return "big"
         return "fourstep"
     if ax == xc.real.ndim - 2 and xc.real.ndim >= 2:

@@ -38,7 +38,8 @@ import numpy as np
 
 from ..core.complex import Array, ComplexArray, as_complex_array, \
     is_power_of_two
-from .fft_pallas import (LANES, MAX_COLS_N, fft_pallas_cols_permuted,
+from .fft_pallas import (LANES, MAX_COLS_N, MAX_ROWS_N,
+                         fft_pallas_cols_permuted,
                          fft_pallas_permuted, ifft_pallas_cols_from_permuted,
                          ifft_pallas_from_permuted)
 
@@ -47,9 +48,10 @@ __all__ = ["fft_big_permuted", "ifft_big_from_permuted", "big_split",
            "fft_big", "ifft_big", "MIN_BIG_N"]
 
 # Smallest N the two-kernel path covers: both factors must exceed the
-# 128-lane tile for the plane-structured kernels.
+# 128-lane tile for the plane-structured kernels. The upper bound is
+# MAX_COLS_N * MAX_ROWS_N (shared constants — ops.dispatch routes only
+# inside this range).
 MIN_BIG_N = (2 * LANES) * (2 * LANES)
-_MAX_ROWS_N = 16384
 
 
 def big_split(n: int) -> Tuple[int, int]:
@@ -64,7 +66,7 @@ def big_split(n: int) -> Tuple[int, int]:
     while n2 > MAX_COLS_N:
         n2 //= 2
         n1 *= 2
-    if n1 > _MAX_ROWS_N or n2 <= LANES:
+    if n1 > MAX_ROWS_N or n2 <= LANES:
         raise ValueError(f"n={n} outside the two-kernel range "
                          f"(n2b={n2}, n1b={n1})")
     return n2, n1

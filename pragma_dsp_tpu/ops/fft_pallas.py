@@ -797,11 +797,22 @@ def _fftcols_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast, fold):
 # 2 MiB each under the 64 MiB scoped VMEM with double buffering).
 MAX_COLS_N = 4096
 
+# Largest row-kernel transform the fused path practically covers
+# (beyond this the trace-time plane recursion and per-block VMEM
+# footprint stop paying). Shared by ops.dispatch's routing and
+# ops.fft_big's split so the two ranges cannot drift apart.
+MAX_ROWS_N = 16384
+
 
 def _pick_cols_tile(m: int, n: int) -> int:
-    """Lane-tile width per grid step of the column kernel."""
+    """Lane-tile width per grid step of the column kernel — capped at
+    the operand width rounded to a lane tile, so narrow shards (e.g.
+    dist_fft's per-device column slices) don't pad up to a full 512
+    lanes of dead work."""
     budget = _tuning().get("fftcols_lane_budget", 1024 * 1024)
-    tl = max(LANES, min(512, (budget // (4 * n)) // LANES * LANES))
+    m_tiles = -(-m // LANES) * LANES
+    tl = max(LANES, min(512, m_tiles,
+                        (budget // (4 * n)) // LANES * LANES))
     return tl
 
 

@@ -448,3 +448,17 @@ def test_fft_big_donated_roundtrip_chain_in_scan():
     (orr, oii), _ = jax.lax.scan(step, (re, im), None, length=3)
     np.testing.assert_allclose(np.asarray(orr), np.asarray(re), atol=3e-4)
     np.testing.assert_allclose(np.asarray(oii), np.asarray(im), atol=3e-4)
+
+
+def test_big_range_caps_shared_with_dispatch():
+    """big_split's validity range and dispatch's routing window share
+    the MAX_COLS_N/MAX_ROWS_N constants — the largest covered size
+    splits cleanly and one octave above raises (dispatch falls back to
+    fourstep there instead of crashing)."""
+    from pragma_dsp_tpu.ops import big_split
+    from pragma_dsp_tpu.ops.fft_pallas import MAX_COLS_N, MAX_ROWS_N
+
+    n2, n1 = big_split(MAX_COLS_N * MAX_ROWS_N)
+    assert n2 == MAX_COLS_N and n1 == MAX_ROWS_N
+    with pytest.raises(ValueError):
+        big_split(MAX_COLS_N * MAX_ROWS_N * 2)
