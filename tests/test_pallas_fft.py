@@ -462,3 +462,28 @@ def test_big_range_caps_shared_with_dispatch():
     assert n2 == MAX_COLS_N and n1 == MAX_ROWS_N
     with pytest.raises(ValueError):
         big_split(MAX_COLS_N * MAX_ROWS_N * 2)
+
+
+@pytest.mark.parametrize("with_phase", [False, True])
+def test_turn_strategies_agree(with_phase):
+    """Both corner-turn strategies (in-kernel MXU one-hot scatter and
+    permuted pair-packed emission + XLA restore) produce the same
+    natural-order product — the policy (_turn_strategy) is a pure
+    performance choice."""
+    from pragma_dsp_tpu.ops.fft_pallas import _spectrum_amp_onesided
+
+    n = 1024
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, n)), jnp.float32)
+    outs = {}
+    for turn in ("kernel", "xla"):
+        outs[turn] = _spectrum_amp_onesided(x, n, "hann", True, "highest",
+                                            with_phase, turn)
+    if with_phase:
+        np.testing.assert_allclose(np.asarray(outs["kernel"][0]),
+                                   np.asarray(outs["xla"][0]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(outs["kernel"][1]),
+                                   np.asarray(outs["xla"][1]), atol=2e-5)
+    else:
+        np.testing.assert_allclose(np.asarray(outs["kernel"]),
+                                   np.asarray(outs["xla"]), atol=2e-6)
