@@ -487,3 +487,15 @@ def test_turn_strategies_agree(with_phase):
     else:
         np.testing.assert_allclose(np.asarray(outs["kernel"]),
                                    np.asarray(outs["xla"]), atol=2e-6)
+
+
+def test_cols_wrappers_reject_bad_sizes():
+    from pragma_dsp_tpu.ops import (fft_pallas_cols_permuted,
+                                    ifft_pallas_cols_from_permuted)
+
+    z = _cx((128, 64))
+    with pytest.raises(ValueError, match="power of two"):
+        fft_pallas_cols_permuted(_ca(z))        # n = 128 too small
+    z2 = _cx((384, 64))
+    with pytest.raises(ValueError, match="power of two"):
+        ifft_pallas_cols_from_permuted(_ca(z2))  # non-pow2 n
