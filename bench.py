@@ -219,7 +219,8 @@ def main() -> int:
     scs = np.full(nspec // 2 + 1, 2.0 / nspec)
     scs[0] = scs[-1] = 1.0 / nspec
     ref_amp *= scs
-    gate("config2 spectrogram 4096/75%", snr_of(ref_amp, amp_tpu), 105.0)
+    c2_snr = snr_of(ref_amp, amp_tpu)
+    gate("config2 spectrogram 4096/75%", c2_snr, 105.0)
 
     # config 3: 48k->44.1k 127-tap polyphase resample vs the committed
     # scipy fixture (tests/fixtures/dsp/resampler.json.gz).
@@ -254,7 +255,8 @@ def main() -> int:
     yif = lfilter([1.0 - alpha], [1.0, -alpha], xif)
     audio_ref = sp_upfirdn(rx._audio_taps, yif, 1, 5)
     m = min(audio_ref.shape[0], audio_tpu.shape[-1])
-    gate("config4 WBFM chain", snr_of(audio_ref[:m], audio_tpu[:m]), 100.0)
+    c4_snr = snr_of(audio_ref[:m], audio_tpu[:m])
+    gate("config4 WBFM chain", c4_snr, 100.0)
 
     # config 5: 256-channel PFB vs the generator-convention f64 oracle
     # (scripts/gen_dsp_refs.py pfb_cases), f32 input path.
@@ -319,11 +321,9 @@ def main() -> int:
             "headline_snr_db": round(snr, 1),
             "roundtrip_snr_db": round(rt_snr, 1),
             "small_n_snr_db": round(s_snr, 1),
-            "config2_spectrogram_snr_db": round(
-                snr_of(ref_amp, amp_tpu), 1),
+            "config2_spectrogram_snr_db": round(c2_snr, 1),
             "config3_resampler_snr_db": round(rs_snr, 1),
-            "config4_wbfm_snr_db": round(
-                snr_of(audio_ref[:m], audio_tpu[:m]), 1),
+            "config4_wbfm_snr_db": round(c4_snr, 1),
             "config5_pfb_snr_db": round(pfb_snr, 1),
             "fft_1m_snr_db": round(fft1m_snr, 1),
         },

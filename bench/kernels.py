@@ -363,8 +363,7 @@ def main():
         # pair-packed transpose above. Measure both at the boundary
         # sizes and verify the policy still picks the winner (10%
         # tolerance band for shared-device variance).
-        from pragma_dsp_tpu.ops.fft_pallas import (
-            _permuted_pairs_to_natural, _spectrum_amp_onesided)
+        from pragma_dsp_tpu.ops.fft_pallas import _spectrum_amp_onesided
         for nft in ((1024, 4096) if big else (1024,)):
             bt = (4096 if big else 64)
             fx = jnp.asarray(rng.standard_normal((bt, nft)), jnp.float32)

@@ -170,7 +170,11 @@ def _osconv_pair_2d(f2: Array, hre: Array, him: Array, n: int,
     (2*tb, n) grid block pairs its two tb-row halves internally (see
     _osconv_pair_kernel)."""
     batch = f2.shape[0]
-    tb = _pick_tile(batch, n)
+    # Tile from HALF the batch: the block spans two tb-row halves, so
+    # sizing tb from the full batch would make small batches (e.g. 128
+    # rows at the 128-row budget tile) pad a whole half-block of
+    # garbage; large batches are budget-bound either way.
+    tb = _pick_tile(-(-batch // 2), n)
     blk = 2 * tb
     padded = -(-batch // blk) * blk
     if padded != batch:

@@ -97,7 +97,10 @@ def _resolve(xc: ComplexArray, axis: int) -> str:
         return "fourstep"
     if ax == xc.real.ndim - 2 and xc.real.ndim >= 2:
         from .fft_pallas import MAX_COLS_N
-        if n <= MAX_COLS_N:
+        # The column kernel pads the trailing dim to a 128-lane tile —
+        # fine for wide operands, degenerate for narrow ones (a (n, 1)
+        # array would do 128x dead work); keep those on fourstep.
+        if n <= MAX_COLS_N and xc.real.shape[-1] >= 128:
             return "pallas"           # column kernel (fft_pallas axis=-2)
     return "fourstep"
 

@@ -702,23 +702,19 @@ def _fftcols_plan(n: int, inverse: bool,
 
 
 def _mk_mml(fast: bool, h_ref, l_ref=None):
-    """Left-dot closure for the column kernel: FFL @ [T_re ; T_im].
-    ``cols=LANES`` restricts to the left FFL columns (exactly-zero
-    imaginary input)."""
+    """Left-dot closure for the column kernel: FFL @ [T_re ; T_im]."""
     if fast:
-        def mm(cat, cols=None):
+        def mm(cat):
             hi, lo = _bsplit(cat)
-            mh = h_ref[:] if cols is None else h_ref[:, :cols]
-            ml = l_ref[:] if cols is None else l_ref[:, :cols]
-            return _df_dot(mh, hi) + (_df_dot(ml, hi) + _df_dot(mh, lo))
+            return _df_dot(h_ref[:], hi) + (_df_dot(l_ref[:], hi)
+                                            + _df_dot(h_ref[:], lo))
     else:
-        def mm(cat, cols=None):
-            m = h_ref[:] if cols is None else h_ref[:, :cols]
-            return _hi_dot(m, cat)
+        def mm(cat):
+            return _hi_dot(h_ref[:], cat)
     return mm
 
 
-def _fftcols_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast, fold):
+def _fftcols_kernel(re_ref, im_ref, *refs, n2, inverse, fast, fold):
     """(1, n, TL) blocks in and out, transform over the n (sublane) axis.
 
     forward: sublane planes -> plane DFT_n2 (sign -1) -> per-plane
@@ -756,10 +752,7 @@ def _fftcols_kernel(re_ref, im_ref, *refs, n, n2, inverse, fast, fold):
                 s = tws_ref[:, u:u + 1]
                 tr = _psub(_pmul(ar[u], c), _pmul(ai[u], s))
                 ti = _padd(_pmul(ar[u], s), _pmul(ai[u], c))
-            if ti is None:
-                y = mm(tr, cols=L)
-            else:
-                y = mm(jnp.concatenate([tr, ti], axis=0))
+            y = mm(jnp.concatenate([tr, ti], axis=0))
             yre, yim = y[:L, :], y[L:, :]
             if fold:
                 gc = gc_ref[L * u:L * (u + 1), :]
@@ -842,7 +835,7 @@ def _fft_pallas_cols_3d(re: Array, im: Array, gc, gs, n: int, inverse: bool,
             gc = jnp.pad(gc, gpad)
             gs = jnp.pad(gs, gpad)
     consts = [jnp.asarray(c) for c in _fftcols_plan(n, inverse, precision)]
-    kernel = functools.partial(_fftcols_kernel, n=n, n2=n // LANES,
+    kernel = functools.partial(_fftcols_kernel, n2=n // LANES,
                                inverse=inverse,
                                fast=(precision == "bf16x3"), fold=fold)
     spec = pl.BlockSpec((1, n, tl), lambda b, j: (b, 0, j),
