@@ -24,15 +24,36 @@ Array = jax.Array
 RealLike = Union[Array, np.ndarray, list, tuple]
 
 
-class ComplexArray(NamedTuple):
+class _ComplexArrayFields(NamedTuple):
+    real: Array
+    imag: Array
+
+
+class ComplexArray(_ComplexArrayFields):
     """Split-plane complex array pytree (``real`` and ``imag`` same shape).
 
     Mirrors the reference's ``ComplexArray`` (src/core/fft.ts:1-4) but is an
     immutable pytree: ops return new values, never mutate.
+
+    Planes must be REAL-dtype: a complex-dtype plane means the caller fed a
+    ``jnp.complex64/128`` array somewhere it was treated as a real plane —
+    the silent-corruption bug class the reference's input validation guards
+    against (src/core/fft.ts:95-104) — so construction rejects it outright.
     """
 
-    real: Array
-    imag: Array
+    def __new__(cls, real, imag):
+        # Tolerant check: pytree unflattening may pass non-array
+        # placeholders (no dtype attribute) — only a *complex dtype* is an
+        # error, because split planes with complex planes are always a bug.
+        for name, p in (("real", real), ("imag", imag)):
+            dt = getattr(p, "dtype", None)
+            if dt is not None and jnp.issubdtype(dt, jnp.complexfloating):
+                raise TypeError(
+                    f"ComplexArray.{name} plane has complex dtype {dt}; "
+                    "planes must be real. Pass the complex array through "
+                    "as_complex_array() (it splits complex-dtype input "
+                    "into real/imag planes).")
+        return super().__new__(cls, real, imag)
 
     @property
     def shape(self):
@@ -71,13 +92,31 @@ def create_complex_array(size, fill: float = 0.0, dtype=jnp.float32) -> ComplexA
 
 
 def as_complex_array(x, dtype=None) -> ComplexArray:
-    """Coerce real input / (re, im) pair / ComplexArray into a ComplexArray."""
+    """Coerce input into a ComplexArray.
+
+    Accepted forms: ComplexArray (returned as-is), a ``(re, im)`` pair of
+    real arrays, a numpy complex ndarray, a **complex-dtype JAX array**
+    (``jnp.complex64/128`` — split into planes; default plane dtype is the
+    dtype's real counterpart), or any real array-like (imag = zeros).
+
+    The complex-dtype branch is load-bearing: the reference validates every
+    input (src/core/fft.ts:95-104), and a complex array falling into the
+    real-coercion branch would silently zero the imaginary part and return
+    wrong answers with no error.
+    """
     if isinstance(x, ComplexArray):
         return x
     if isinstance(x, tuple) and len(x) == 2 and not isinstance(x[0], (int, float)):
         return ComplexArray(jnp.asarray(x[0], dtype=dtype), jnp.asarray(x[1], dtype=dtype))
     if isinstance(x, np.ndarray) and np.iscomplexobj(x):
         return ComplexArray.from_numpy_complex(x, dtype=dtype)
+    if jnp.iscomplexobj(x):
+        # complex-dtype JAX array / tracer / python complex (scalar or list).
+        arr = jnp.asarray(x)
+        re, im = jnp.real(arr), jnp.imag(arr)  # real counterpart dtype
+        if dtype is not None:
+            re, im = re.astype(dtype), im.astype(dtype)
+        return ComplexArray(re, im)
     re = jnp.asarray(x, dtype=dtype)
     return ComplexArray(re, jnp.zeros_like(re))
 

@@ -75,7 +75,26 @@ def get_fft_precision() -> str:
 
 def _resolve(xc: ComplexArray, axis: int) -> str:
     if _impl != "auto":
+        if _impl == "big" and not _big_supports(xc, axis):
+            # A globally pinned "big" must not break unrelated small
+            # transforms (e.g. dist_fft's internal n2-sized column FFTs):
+            # fall back to the auto policy for out-of-range sizes. A
+            # per-call impl="big" with a bad n raises instead (see fft()).
+            return _resolve_policy(xc, axis)
         return _impl
+    return _resolve_policy(xc, axis)
+
+
+def _big_supports(xc: ComplexArray, axis: int) -> bool:
+    from .fft_big import MIN_BIG_N
+    from .fft_pallas import MAX_COLS_N, MAX_ROWS_N
+
+    n = xc.real.shape[axis]
+    return (is_power_of_two(n)
+            and MIN_BIG_N <= n <= MAX_COLS_N * MAX_ROWS_N)
+
+
+def _resolve_policy(xc: ComplexArray, axis: int) -> str:
     if jax.default_backend() != "tpu":
         return "stockham"
     if xc.real.dtype not in (jnp.float32, jnp.bfloat16):
@@ -92,6 +111,10 @@ def _resolve(xc: ComplexArray, axis: int) -> str:
         # fft_big covers n = n2b * n1b with n2b <= MAX_COLS_N and
         # n1b <= MAX_ROWS_N; beyond that (n > 2^26) fall back to the
         # recursive jnp fourstep rather than crash in big_split.
+        # Deliberate routing gap at n = 2^15 (32768): the row kernel
+        # tops out at MAX_ROWS_N = 2^14 and big_split needs both
+        # factors comfortably tiled (MIN_BIG_N = 2^16), so that single
+        # size rides the slower jnp fourstep.
         if MIN_BIG_N <= n <= MAX_COLS_N * MAX_ROWS_N:
             return "big"
         return "fourstep"
@@ -117,6 +140,8 @@ def fft(x, axis: int = -1, impl: Optional[str] = None,
     """
     xc = as_complex_array(x)
     chosen = impl if impl is not None else _resolve(xc, axis)
+    if chosen == "big" and impl is not None:
+        _require_big_range(xc, axis)
     if chosen == "pallas":
         return fft_pallas(xc, axis, precision=precision, donate=donate)
     if chosen == "big":
@@ -132,6 +157,8 @@ def ifft(x, axis: int = -1, impl: Optional[str] = None,
     """Inverse FFT with 1/N normalisation via the best backend path."""
     xc = as_complex_array(x)
     chosen = impl if impl is not None else _resolve(xc, axis)
+    if chosen == "big" and impl is not None:
+        _require_big_range(xc, axis)
     if chosen == "pallas":
         return ifft_pallas(xc, axis, precision=precision, donate=donate)
     if chosen == "big":
@@ -139,6 +166,20 @@ def ifft(x, axis: int = -1, impl: Optional[str] = None,
     if chosen == "fourstep":
         return ifft_fourstep(xc, axis)
     return _ifft_stockham(xc, axis)
+
+
+def _require_big_range(xc: ComplexArray, axis: int) -> None:
+    """Clear error for an explicit per-call impl='big' with unsupported n."""
+    if _big_supports(xc, axis):
+        return
+    from .fft_big import MIN_BIG_N
+    from .fft_pallas import MAX_COLS_N, MAX_ROWS_N
+
+    n = xc.real.shape[axis]
+    raise ValueError(
+        f"impl='big' supports power-of-two n in "
+        f"[{MIN_BIG_N}, {MAX_COLS_N * MAX_ROWS_N}]; got n={n}. "
+        "Use impl=None (auto policy) to route this size automatically.")
 
 
 def _run_big(xc: ComplexArray, axis: int, inverse: bool,

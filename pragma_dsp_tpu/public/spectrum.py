@@ -131,6 +131,15 @@ def spectrum(
     fft_size=next_power_of_two(len). Accepts [n] or [batch..., n] input.
     """
     samples = jnp.asarray(samples)
+    if jnp.issubdtype(samples.dtype, jnp.complexfloating):
+        # The beginner rung takes REAL samples (reference
+        # spectrum.ts:107: samples is a real Float32Array/number[]); a
+        # complex array would silently lose its imaginary part in the
+        # real cast below. Complex spectra go through ops.fft /
+        # xform.fourier directly.
+        raise TypeError(
+            f"spectrum() takes real samples, got {samples.dtype}; for "
+            "complex input use ops.fft + xform.fourier.magnitude/phase")
     if samples.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
         samples = samples.astype(jnp.float32)
     target_size = fft_size if fft_size is not None else next_power_of_two(samples.shape[-1])

@@ -1,0 +1,186 @@
+"""Complex-dtype JAX input must be split, never silently coerced.
+
+Round-4 VERDICT #1: ``as_complex_array`` split *numpy* complex input but a
+``jnp.complex64/128`` array fell through to the real-coercion branch —
+``ops.fft`` returned wrong bins with no error. The reference validates every
+input (src/core/fft.ts:95-104); a fixtures-first framework must never return
+silent wrong answers. These tests feed complex-dtype JAX arrays through every
+public entry point and pin the guard that makes the bug unconstructible.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from pragma_dsp_tpu import ops
+from pragma_dsp_tpu.core import ComplexArray, as_complex_array
+from pragma_dsp_tpu.models import wbfm_demod
+from pragma_dsp_tpu.ops.channelizer import pfb_channelize
+from pragma_dsp_tpu.ops.fir import fir_filter
+from pragma_dsp_tpu.parallel import (
+    data_mesh, dist_fft, dist_fft_shape, permuted_to_natural_host,
+    sharded_fir_filter,
+)
+from pragma_dsp_tpu.public import spectrum
+from pragma_dsp_tpu.utils.fixtures import assert_snr
+
+RNG = np.random.default_rng(77)
+
+
+def _complex_signal(shape, dtype=np.complex128):
+    z = RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)
+    return z.astype(dtype)
+
+
+# ---------------------------------------------------------------- core
+
+
+def test_as_complex_array_splits_jnp_complex64():
+    z = _complex_signal(16, np.complex64)
+    ca = as_complex_array(jnp.asarray(z))
+    assert ca.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(ca.real), z.real, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ca.imag), z.imag, rtol=1e-6)
+
+
+def test_as_complex_array_splits_jnp_complex128():
+    z = _complex_signal(16)
+    ca = as_complex_array(jnp.asarray(z))
+    assert ca.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(ca.real), z.real, rtol=0)
+    np.testing.assert_allclose(np.asarray(ca.imag), z.imag, rtol=0)
+
+
+def test_as_complex_array_dtype_override_on_complex():
+    z = jnp.asarray(_complex_signal(8))
+    ca = as_complex_array(z, dtype=jnp.float32)
+    assert ca.dtype == jnp.float32
+
+
+def test_as_complex_array_python_complex_list():
+    ca = as_complex_array([1 + 2j, 3 - 4j])
+    np.testing.assert_allclose(np.asarray(ca.real), [1.0, 3.0])
+    np.testing.assert_allclose(np.asarray(ca.imag), [2.0, -4.0])
+
+
+def test_complex_array_rejects_complex_planes():
+    with pytest.raises(TypeError, match="complex dtype"):
+        ComplexArray(jnp.asarray([1 + 1j]), jnp.zeros(1))
+    with pytest.raises(TypeError, match="complex dtype"):
+        ComplexArray(jnp.zeros(1), jnp.asarray([1j]))
+
+
+def test_complex_array_guard_tolerates_pytree_placeholders():
+    # Pytree transposes/unflattens may route non-array placeholders
+    # through the constructor; only an actual complex dtype must raise.
+    leaves, treedef = jax.tree_util.tree_flatten(
+        ComplexArray(jnp.zeros(4), jnp.zeros(4)))
+    rebuilt = jax.tree_util.tree_unflatten(treedef, [object(), object()])
+    assert isinstance(rebuilt, ComplexArray)
+
+
+# ---------------------------------------------------------------- ops.fft
+
+
+def test_fft_jnp_complex_matches_numpy():
+    # The round-4 repro verbatim: this returned wrong bins silently.
+    z = jnp.asarray([1 + 2j, 3 - 4j, 1j, 2 + 0j])
+    got = ops.fft(z).to_numpy_complex()
+    want = np.fft.fft(np.asarray([1 + 2j, 3 - 4j, 1j, 2 + 0j]))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [64, 1024])
+def test_fft_ifft_complex128_roundtrip(n):
+    z = _complex_signal(n)
+    zj = jnp.asarray(z)
+    spec = ops.fft(zj).to_numpy_complex()
+    np.testing.assert_allclose(spec, np.fft.fft(z), atol=1e-9)
+    rt = ops.ifft(ops.fft(zj)).to_numpy_complex()
+    np.testing.assert_allclose(rt, z, atol=1e-10)
+
+
+def test_fft_complex_inside_jit():
+    z = _complex_signal(256, np.complex64)
+
+    @jax.jit
+    def f(w):
+        out = ops.fft(w)
+        return out.real, out.imag
+
+    re, im = f(jnp.asarray(z))
+    want = np.fft.fft(z.astype(np.complex128))
+    assert_snr(want.real, np.asarray(re), 120.0)
+    assert_snr(want.imag, np.asarray(im), 120.0)
+
+
+# --------------------------------------------------------------- DSP ops
+
+
+def test_fir_filter_jnp_complex_matches_scipy():
+    taps = sps.firwin(31, 0.25)
+    z = _complex_signal(512)
+    out = fir_filter(jnp.asarray(z), jnp.asarray(taps))
+    want = sps.lfilter(taps, 1.0, z)
+    assert isinstance(out, ComplexArray)
+    np.testing.assert_allclose(out.real, want.real, atol=1e-10)
+    np.testing.assert_allclose(out.imag, want.imag, atol=1e-10)
+
+
+def test_pfb_channelize_jnp_complex_matches_split():
+    C, M = 16, 32
+    z = _complex_signal(C * M)
+    got = pfb_channelize(jnp.asarray(z), C)
+    want = pfb_channelize(ComplexArray(jnp.asarray(z.real),
+                                       jnp.asarray(z.imag)), C)
+    np.testing.assert_allclose(got.real, want.real, atol=0)
+    np.testing.assert_allclose(got.imag, want.imag, atol=0)
+
+
+def test_wbfm_demod_jnp_complex_matches_split():
+    fs = 2.4e6
+    n = int(fs * 0.005)
+    t = np.arange(n) / fs
+    msg = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    iq = np.exp(1j * (2 * np.pi * 75e3 * np.cumsum(msg) / fs))
+    got = np.asarray(wbfm_demod(jnp.asarray(iq)))
+    want = np.asarray(wbfm_demod(ComplexArray(jnp.asarray(iq.real),
+                                              jnp.asarray(iq.imag))))
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_spectrum_rejects_complex_input():
+    with pytest.raises(TypeError, match="real samples"):
+        spectrum(jnp.asarray(_complex_signal(64, np.complex64)))
+
+
+# --------------------------------------------------------------- sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return data_mesh(8)
+
+
+def test_dist_fft_jnp_complex(mesh):
+    n = 1 << 14
+    n2, n1 = dist_fft_shape(n, 8)
+    z = _complex_signal(n)
+    p = dist_fft(jnp.asarray(z).reshape(n2, n1), mesh)
+    got = permuted_to_natural_host(p)
+    want = np.fft.fft(z)
+    assert_snr(want.real, got.real, 200.0)
+    assert_snr(want.imag, got.imag, 200.0)
+
+
+def test_sharded_fir_jnp_complex(mesh):
+    taps = sps.firwin(63, 0.3)
+    z = _complex_signal(4096)
+    out = sharded_fir_filter(jnp.asarray(z), jnp.asarray(taps), mesh)
+    want = sps.lfilter(taps, 1.0, z)
+    assert isinstance(out, ComplexArray)
+    np.testing.assert_allclose(out.real, want.real, atol=1e-10)
+    np.testing.assert_allclose(out.imag, want.imag, atol=1e-10)
