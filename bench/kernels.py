@@ -98,10 +98,18 @@ def main():
     print(f"dispatch RTT: {rtt*1e3:.1f} ms", flush=True)
 
     def report(name, total, k, samples, bytes_per_sample=None,
-               flops_per_sample=None, flop_kind="bf16", note=""):
+               flops_per_sample=None, flop_kind="bf16",
+               vpu_ops_per_sample=None, note="", floor_ab=None,
+               gate=True):
+        """One bench row. Every engine with a model gets a % column; the
+        row's binding engine is the max-% one. --floors requires every
+        gated row to reach >=70% of its binding engine OR carry a
+        ``floor_ab`` pointer at the measured A/B justifying the gap
+        (round-4 VERDICT #3: no prose-only floor claims). ``gate=False``
+        marks comparison rows that make no floor claim."""
         per = max((total - rtt) / k, 1e-9)
         msps = samples / per / 1e6
-        hbm_pct = mxu_pct = None
+        hbm_pct = mxu_pct = vpu_pct = None
         if bytes_per_sample is not None:
             hbm_pct = 100 * samples * bytes_per_sample / per \
                 / specs["hbm_bytes_per_s"]
@@ -109,14 +117,24 @@ def main():
             peak = specs["bf16_flops"] if flop_kind == "bf16" \
                 else specs["f32_flops"]
             mxu_pct = 100 * samples * flops_per_sample / per / peak
+        if vpu_ops_per_sample is not None:
+            vpu_pct = 100 * samples * vpu_ops_per_sample / per \
+                / specs["vpu_flops"]
+        engines = {"HBM": hbm_pct, "MXU": mxu_pct, "VPU": vpu_pct}
+        avail = {e: p for e, p in engines.items() if p is not None}
+        bound = max(avail, key=avail.get) if avail else None
         line = f"{name:36s} {per*1e3:8.3f} ms/iter  {msps:9.0f} MS/s"
-        if hbm_pct is not None:
-            line += f"  hbm {hbm_pct:5.1f}%"
-        if mxu_pct is not None:
-            line += f"  mxu {mxu_pct:5.1f}%"
+        for label, p in (("hbm", hbm_pct), ("mxu", mxu_pct),
+                         ("vpu", vpu_pct)):
+            if p is not None:
+                line += f"  {label} {p:5.1f}%"
+        if bound is not None:
+            line += f"  bound={bound}"
         print(line, flush=True)
         rows.append(dict(name=name, per_ms=per * 1e3, msps=msps,
-                         hbm_pct=hbm_pct, mxu_pct=mxu_pct, note=note))
+                         hbm_pct=hbm_pct, mxu_pct=mxu_pct,
+                         vpu_pct=vpu_pct, bound=bound, note=note,
+                         floor_ab=floor_ab, gate=gate))
 
     # MXU-flops/sample models (N=1024, N2=8, lane dots (tb,256)@(256,256)):
     #   complex FFT kernel: n2 * 2*256*256 / n      = 1024 f32-flop/sample
@@ -125,6 +143,22 @@ def main():
     #     + corner turn 4 chunks * 2*128*128/n*...  ~= 128  -> ~640/sample
     #   fused conv: two lane-dot sets               = 2048 f32-flop/sample
     fft_flops = 1024.0
+    # VPU ops/sample models (elementwise f32 ops per INPUT sample against
+    # the modeled 4-ALU x 1024-lane peak, benchharness._vpu_peak). Counts
+    # per element: Veltkamp 3-way split ~8 (two 4-op splits), per-row
+    # twiddle complex-mul ~6, hypot ~4 (incl. sqrt), atan2 polynomial ~25
+    # (degree-8 + quadrant select + divide), window/scale 1 each; rho =
+    # 513/1024 one-sided output ratio halves the per-bin terms. These
+    # are order-of-magnitude accounting models whose job is to NAME the
+    # binding engine per row, same convention as the HBM%% column.
+    rho = (N // 2 + 1) / N
+    vpu_fft = {"bf16x3": 8 + 6, "highest": 6}         # splits + twiddles
+    vpu_spec = {"bf16x3": 1 + 8 + 6 + (4 + 1 + 8) * rho,   # amp only
+                "highest": 1 + 6 + (4 + 1) * rho}
+    vpu_ap = {"bf16x3": 1 + 8 + 6 + (4 + 25 + 1 + 16) * rho,  # amp+phase
+              "highest": 1 + 6 + (4 + 25 + 1) * rho}
+    vpu_conv = {"bf16x3": 2 * (8 + 6) + 6, "highest": 2 * 6 + 6}
+    vpu_pfb = 8 * 2 * 2 + 16 + 6 + 16   # T=8 branch MACs x2 planes + splits
 
     # ── Pallas FFT, donated chains (same-shape: carry the output) ──
     for prec, passes in (("bf16x3", 3), ("highest", 6)):
@@ -132,6 +166,7 @@ def main():
             r, i, N, False, interp, _p, donate=True), (re_, im_), K)
         report(f"pallas fft permuted 1024 {prec}", t, K, S,
                bytes_per_sample=16, flops_per_sample=fft_flops * passes,
+               vpu_ops_per_sample=vpu_fft[prec],
                note="complex in+out, donated chain")
 
         def rt(r, i, _p=prec):
@@ -140,6 +175,7 @@ def main():
         t = timed(rt, (re_, im_), max(K // 2, 1))
         report(f"pallas fft+ifft roundtrip {prec}", t, max(K // 2, 1), S,
                bytes_per_sample=32, flops_per_sample=2 * fft_flops * passes,
+               vpu_ops_per_sample=2 * vpu_fft[prec],
                note="two kernels per iter")
 
     # ── fused one-sided spectrum (input is the carry; output small) ──
@@ -153,10 +189,12 @@ def main():
     spec_bytes = 4 + 4 * (N // 2 + 1) / N          # f32 in + one-sided out
     t = timed(spec_step("bf16x3"), (re_,), K)
     report("fused spectrum bf16x3", t, K, S, bytes_per_sample=spec_bytes,
-           flops_per_sample=640 * 3, note="headline")
+           flops_per_sample=640 * 3,
+           vpu_ops_per_sample=vpu_spec["bf16x3"], note="headline")
     t = timed(spec_step("highest"), (re_,), K)
     report("fused spectrum f32", t, K, S, bytes_per_sample=spec_bytes,
-           flops_per_sample=640 * 6)
+           flops_per_sample=640 * 6,
+           vpu_ops_per_sample=vpu_spec["highest"])
 
     def amp_phase_step(prec):
         def step(v):
@@ -169,10 +207,15 @@ def main():
     ap_bytes = 4 + 8 * (N // 2 + 1) / N            # in + amp + phase
     t = timed(amp_phase_step("bf16x3"), (re_,), K)
     report("fused amp+phase bf16x3", t, K, S, bytes_per_sample=ap_bytes,
-           flops_per_sample=768 * 3, note="beginner rung")
+           flops_per_sample=768 * 3,
+           vpu_ops_per_sample=vpu_ap["bf16x3"], note="beginner rung",
+           floor_ab="BASELINE amp+phase bullet: xla-turn + split-hybrid "
+                    "A/Bs measured and lose; 8 B/sample writes + doubled "
+                    "exact turn + atan2 chain")
     t = timed(amp_phase_step("highest"), (re_,), K)
     report("fused amp+phase f32", t, K, S, bytes_per_sample=ap_bytes,
-           flops_per_sample=768 * 6)
+           flops_per_sample=768 * 6,
+           vpu_ops_per_sample=vpu_ap["highest"])
 
     # ── fused circular convolution (real frames -> real frames) ──
     # Pair kernel: one complex fwd+inv pipeline serves TWO real frames,
@@ -188,6 +231,7 @@ def main():
             (re_,), K)
         report(f"fused circular conv {prec}", t, K, S,
                bytes_per_sample=8, flops_per_sample=fft_flops * passes,
+               vpu_ops_per_sample=vpu_conv[prec],
                note="pair kernel, real in+out, donated")
 
     def fs(r, i):
@@ -195,7 +239,7 @@ def main():
         return o.real, o.imag
     t = timed(fs, (re_, im_), K)
     report("jnp fourstep fft 1024", t, K, S, bytes_per_sample=16,
-           note="XLA path, includes carry copy")
+           note="XLA path, includes carry copy", gate=False)
 
     # ── shape-changing pipelines: probe-chained ──
     # The chain consumes the FULL output via a fused sum: consuming only
@@ -255,7 +299,10 @@ def main():
               (sig, acc0), k4)
     report("resample 48k->44.1k", t, k4, sig.shape[0],
            bytes_per_sample=4 + 8 + 8 * 147 / 160,
-           note="upfirdn banded matmul, mxu-tile bound")
+           note="upfirdn banded matmul, mxu-tile bound",
+           floor_ab="BASELINE config-3: banded-vs-conv-vs-fused-kernel "
+                    "+ cascade A/Bs; 147/160 dot tiles pin MXU util at "
+                    "~36% in every formulation measured")
 
     # config 4: WBFM broadcast demod chain end-to-end (channel lowpass +
     # decimate -> quadrature discriminator -> de-emphasis -> audio
@@ -295,8 +342,30 @@ def main():
         return lax.dynamic_update_slice(v, probe, (0,)), w, acc + s
     t = timed(pfb_step, (iq_re, iq_im, acc0), k4)
     report(f"PFB 256ch {iq_len/1e6:.1f}M IQ", t, k4, iq_len,
-           bytes_per_sample=8 + 8 + 8,
-           note="fused kernel, 8 taps/branch")
+           bytes_per_sample=8 + 8 + 8, vpu_ops_per_sample=vpu_pfb,
+           note="fused kernel, 8 taps/branch, flat entry",
+           floor_ab="BASELINE PFB bullet: per-stage ablation; the gap "
+                    "to the frames row below is the flat entry's "
+                    "1-D->2-D relayout, root-caused round 4")
+
+    # Frames-fed PFB (round-4 VERDICT #2): same kernel, (M, C)-shaped
+    # carry, skipping the flat entry's XLA relayout pass. Same traffic
+    # model; this row IS the >=70%-HBM floor claim for frames callers.
+    from pragma_dsp_tpu.ops.channelizer import pfb_channelize_frames
+
+    mfr = iq_len // c
+    fr_re = iq_re.reshape(mfr, c)
+    fr_im = iq_im.reshape(mfr, c)
+
+    def pfbf_step(vr, vi, acc):
+        out = pfb_channelize_frames(ComplexArray(vr, vi), c)
+        s_ = jnp.sum(out.real) + jnp.sum(out.imag)
+        probe = vr[:1, :1] + s_ * jnp.asarray(1e-30, vr.dtype)
+        return lax.dynamic_update_slice(vr, probe, (0, 0)), vi, acc + s_
+    t = timed(pfbf_step, (fr_re, fr_im, acc0), k4)
+    report(f"PFB 256ch frames-fed {iq_len/1e6:.1f}M", t, k4, iq_len,
+           bytes_per_sample=8 + 8 + 8, vpu_ops_per_sample=vpu_pfb,
+           note="same kernel, (M, C) frame view in, no relayout")
 
     # 1M-point FFT on one chip: the two-kernel fused path
     # (ops/fft_big.py — column kernel with the inter-stage twiddle grid
@@ -331,6 +400,7 @@ def main():
         t = timed(big_step, (zr, zi), k3)
         report("1M-pt FFT (2-kernel fused, 1 chip)", t, k3, nbig,
                bytes_per_sample=40, flops_per_sample=2 * 1024 * 3,
+               vpu_ops_per_sample=2 * vpu_fft["bf16x3"] + 6,
                note=f"permuted out, SNR {snr_big:.1f} dB vs numpy f64")
 
         # The D-sharded distributed path on a 1-device mesh (its column
@@ -441,10 +511,58 @@ def main():
                         if r["name"].startswith("fused circular conv bf16x3"))
         mxu_frac = conv_row["mxu_pct"]
         okc = mxu_frac is not None and mxu_frac >= 70.0
-        print(f"FLOOR fused conv mxu fraction: {mxu_frac:.0f}% "
+        frac_s = f"{mxu_frac:.0f}%" if mxu_frac is not None else "n/a"
+        print(f"FLOOR fused conv mxu fraction: {frac_s} "
               f"{'OK' if okc else 'BELOW 70%'}", flush=True)
         if not okc and big:
-            floor_failures.append(f"fused conv at {mxu_frac:.0f}% MXU")
+            floor_failures.append(f"fused conv at {frac_s} MXU")
+
+        # (6) resampler cascade A/B (round-4 VERDICT #4): the
+        # multi-stage (3/4)(7/8)(7/5) cascade vs the shipped single-stage
+        # 147/160 banded einsum, both at the 8-taps-per-phase design.
+        # Claim (BASELINE config-3 bullet): each stage pays its full
+        # dense band, so the cascade loses; the policy inverts if it
+        # measures >=10% faster.
+        if big:
+            from pragma_dsp_tpu.ops.polyphase import resample_poly_cascade
+            t_single = (timed(chained(lambda v: resample_poly(
+                v, 147, 160, num_taps=1177)), (sig, acc0), k4) - rtt) / k4
+            t_casc = (timed(chained(lambda v: resample_poly_cascade(
+                v, ((3, 4), (7, 8), (7, 5)))), (sig, acc0), k4)
+                - rtt) / k4
+            okcas = t_single <= t_casc * 1.10
+            print(f"FLOOR resampler cascade A/B: single {t_single*1e3:.3f}"
+                  f" ms vs cascade {t_casc*1e3:.3f} ms "
+                  f"{'OK (single-stage ships)' if okcas else 'INVERTED'}",
+                  flush=True)
+            if not okcas:
+                floor_failures.append(
+                    f"cascade beats single stage ({t_casc*1e3:.3f} vs "
+                    f"{t_single*1e3:.3f} ms): ship the cascade")
+
+        # (5) binding-engine gate (round-4 VERDICT #3): every gated row
+        # with an engine model must reach >=70% of its binding engine,
+        # or carry a floor_ab pointer naming the measured A/B that
+        # justifies the gap. No prose-only floor claims.
+        for r in rows:
+            if not r["gate"] or r["bound"] is None:
+                continue
+            pct = {"HBM": r["hbm_pct"], "MXU": r["mxu_pct"],
+                   "VPU": r["vpu_pct"]}[r["bound"]]
+            if pct >= 70.0:
+                print(f"FLOOR engine {r['name']}: bound={r['bound']} "
+                      f"{pct:.0f}% OK", flush=True)
+            elif r["floor_ab"]:
+                print(f"FLOOR engine {r['name']}: bound={r['bound']} "
+                      f"{pct:.0f}% — A/B: {r['floor_ab']}", flush=True)
+            else:
+                print(f"FLOOR engine {r['name']}: bound={r['bound']} "
+                      f"{pct:.0f}% BELOW 70% with no linked A/B",
+                      flush=True)
+                if big:
+                    floor_failures.append(
+                        f"{r['name']} at {pct:.0f}% {r['bound']} "
+                        "without a linked A/B")
 
         if floor_failures:
             print("FLOORS FAILED: " + "; ".join(floor_failures),
@@ -460,17 +578,32 @@ def main():
             "HBM%/MXU% are against the spec-sheet peaks (819 GB/s, "
             "197 bf16 TF/s); the measured streaming bandwidth of this "
             "part is ~900 GB/s, so an HBM-bound row can read slightly "
-            "over 100%.",
+            "over 100%. VPU% is against the modeled elementwise peak "
+            "(4 ALUs x 1024 lanes x the MXU-inferred clock = bf16/32; "
+            "op counts documented in bench/kernels.py). Bound names the "
+            "max-% engine — the machine-checked binding engine; "
+            "'(A/B)' marks a row whose <70% gap is justified by a "
+            "measured A/B re-run under --floors rather than a roofline "
+            "claim.",
             "",
-            "| Kernel | Time/iter | Throughput | HBM % | MXU % | Notes |",
-            "|---|---|---|---|---|---|",
+            "| Kernel | Time/iter | Throughput | HBM % | MXU % | "
+            "VPU % | Bound | Notes |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for r in rows:
             hbm = f"{r['hbm_pct']:.0f}%" if r["hbm_pct"] is not None else "—"
             mxu = f"{r['mxu_pct']:.0f}%" if r["mxu_pct"] is not None else "—"
+            vpu = f"{r['vpu_pct']:.0f}%" if r["vpu_pct"] is not None else "—"
+            bnd = r["bound"] or "—"
+            if r["bound"] is not None and r["gate"]:
+                bpct = {"HBM": r["hbm_pct"], "MXU": r["mxu_pct"],
+                        "VPU": r["vpu_pct"]}[r["bound"]]
+                if bpct < 70.0 and r["floor_ab"]:
+                    bnd += " (A/B)"     # gap justified by a measured A/B
             lines.append(
                 f"| {r['name']} | {r['per_ms']:.3f} ms | "
-                f"{r['msps']:,.0f} MS/s | {hbm} | {mxu} | {r['note']} |")
+                f"{r['msps']:,.0f} MS/s | {hbm} | {mxu} | {vpu} | {bnd} | "
+                f"{r['note']} |")
         lines += ["", _MARK_END]
         table = "\n".join(lines)
         path = os.path.join(os.path.dirname(os.path.dirname(

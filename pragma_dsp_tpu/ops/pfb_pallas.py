@@ -54,7 +54,7 @@ from .fft_pallas import (
     resolve_precision,
 )
 
-__all__ = ["pfb_channelize_pallas"]
+__all__ = ["pfb_channelize_pallas", "pfb_channelize_frames_pallas"]
 
 
 @functools.lru_cache(maxsize=16)
@@ -205,15 +205,8 @@ def _pfb_2d(xr: Array, xi: Array, hp: Array, c: int, t_taps: int,
     return ore[:m], oim[:m]
 
 
-def pfb_channelize_pallas(x: ComplexArray, taps, channels: int,
-                          interpret: Optional[bool] = None,
-                          precision: Optional[str] = None) -> ComplexArray:
-    """Fused PFB channelizer: IQ [..., L] (L a multiple of C) ->
-    [..., M, C] natural-order complex channel samples, matching
-    ops.channelizer.pfb_channelize exactly (same convention docstring).
-
-    Requires C a power of two >= 128. taps may be a traced array.
-    """
+def _pfb_prepare(taps, channels: int, interpret, precision):
+    """Shared validation + polyphase tap table for both entry shapes."""
     c = channels
     if c < LANES or not is_power_of_two(c):
         raise ValueError(
@@ -226,13 +219,60 @@ def pfb_channelize_pallas(x: ComplexArray, taps, channels: int,
     t_taps = -(-k // c)
     hp = jnp.zeros((t_taps * c,), taps.dtype).at[:k].set(taps)
     hp = hp.reshape(t_taps, c).astype(jnp.float32)
+    return hp, t_taps, interp, precision
+
+
+def pfb_channelize_pallas(x: ComplexArray, taps, channels: int,
+                          interpret: Optional[bool] = None,
+                          precision: Optional[str] = None) -> ComplexArray:
+    """Fused PFB channelizer: IQ [..., L] (L a multiple of C) ->
+    [..., M, C] natural-order complex channel samples, matching
+    ops.channelizer.pfb_channelize exactly (same convention docstring).
+
+    Requires C a power of two >= 128. taps may be a traced array.
+
+    The flat-stream entry pays one XLA relayout pass (the 1-D -> 2-D
+    tiling cast into the (M, C) frame view — measured ~16% of the
+    config-5 row; Mosaic cannot absorb 1-D->2-D shape casts in VMEM).
+    Callers whose upstream already holds (M, C)-shaped frames should
+    use :func:`pfb_channelize_frames_pallas` and skip it.
+    """
+    c = channels
     length = x.real.shape[-1]
     if length % c != 0:
         raise ValueError(f"input length {length} not a multiple of C={c}")
     batch = x.real.shape[:-1]
     m = length // c
-    xr = x.real.reshape(-1, m, c)
-    xi = x.imag.reshape(-1, m, c)
+    frames = ComplexArray(x.real.reshape(batch + (m, c)),
+                          x.imag.reshape(batch + (m, c)))
+    return pfb_channelize_frames_pallas(frames, taps, c,
+                                        interpret=interpret,
+                                        precision=precision)
+
+
+def pfb_channelize_frames_pallas(x: ComplexArray, taps, channels: int,
+                                 interpret: Optional[bool] = None,
+                                 precision: Optional[str] = None
+                                 ) -> ComplexArray:
+    """Fused PFB channelizer over an (M, C) frame view: IQ frames
+    [..., M, C] (frame m holds input samples [m*C, (m+1)*C)) ->
+    [..., M, C] natural-order complex channel samples.
+
+    Identical numerics to :func:`pfb_channelize_pallas` on the
+    flattened stream; fed with frames it skips the 1-D -> 2-D tiling
+    relayout XLA inserts for flat input (round-4 bisect: 0.167 ms
+    frames-fed vs 0.199 ms flat at config-5 scale).
+    """
+    c = channels
+    if x.real.ndim < 2 or x.real.shape[-1] != c:
+        raise ValueError(
+            f"frames input must be [..., M, {c}], got {x.real.shape}")
+    hp, t_taps, interp, precision = _pfb_prepare(taps, c, interpret,
+                                                 precision)
+    batch = x.real.shape[:-2]
+    m = x.real.shape[-2]
+    xr = x.real.reshape((-1, m, c))
+    xi = x.imag.reshape((-1, m, c))
     if xr.shape[0] == 1:
         # the common stream case: no per-batch loop, no stack copy
         ore, oim = _pfb_2d(xr[0], xi[0], hp, c, t_taps, interp, precision)

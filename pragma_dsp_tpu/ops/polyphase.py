@@ -24,7 +24,8 @@ import numpy as np
 
 from ..core.complex import Array, ComplexArray, as_complex_array
 
-__all__ = ["upfirdn", "resample_poly", "decimate", "interpolate",
+__all__ = ["upfirdn", "resample_poly", "resample_poly_cascade",
+           "decimate", "interpolate",
            "design_lowpass", "resampler_taps",
            "UpfirdnState", "upfirdn_stream_init", "upfirdn_step"]
 
@@ -203,6 +204,44 @@ def resample_poly(x, up: int, down: int, taps=None,
     if taps is None:
         taps = resampler_taps(up, down, num_taps)
     return upfirdn(x, taps, up, down, precision)
+
+
+def resample_poly_cascade(x, factors, taps=None, taps_per_phase: int = 8,
+                          precision: Optional[str] = None) -> Array:
+    """Multi-stage rational resampler: ``factors`` is a list of
+    (up, down) stages applied in order, each an independent
+    ``upfirdn`` with its own anti-aliasing design (``resampler_taps``
+    with 8*max(up, down)+1 taps by default, the same taps-per-phase
+    density as config 3's 1177-tap single stage).
+
+    e.g. 48 kHz -> 44.1 kHz as (3, 4)·(7, 8)·(7, 5) = 147/160.
+
+    Round-4 VERDICT #4 A/B (measured on v5e, recorded in BASELINE.md
+    config-3 bullet and re-run by ``bench/kernels.py --floors``): the
+    cascade LOSES to the single-stage banded einsum on TPU — each stage
+    pays its full dense (w_frame, up*cyc) band regardless of ratio, so
+    splitting the ratio multiplies band traffic instead of reducing it
+    (the dense-band MAC count per input sample is ~2x the single
+    stage's), and the measured times confirm it. Shipped as a public
+    building block (cascades are the standard CPU-DSP escape from
+    awkward ratios, and multi-rate chains compose from it), but
+    ``resample_poly`` remains the config-3 fast path.
+
+    ``taps`` (optional) is a list of per-stage tap arrays overriding
+    the default designs.
+    """
+    if taps is not None and len(taps) != len(factors):
+        raise ValueError(
+            f"taps list length {len(taps)} != {len(factors)} stages")
+    y = x
+    for i, (up, down) in enumerate(factors):
+        g = math.gcd(up, down)
+        up //= g
+        down //= g
+        h = taps[i] if taps is not None else resampler_taps(
+            up, down, taps_per_phase * max(up, down) + 1)
+        y = upfirdn(y, h, up, down, precision)
+    return y
 
 
 class UpfirdnState(NamedTuple):

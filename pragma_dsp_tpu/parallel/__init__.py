@@ -14,8 +14,10 @@ from .mesh import Mesh, NamedSharding, P, data_mesh, make_mesh
 from .multihost import (BarrierTimeout, barrier, health_check,
                         init_multihost, is_multihost)
 from .sharded import (
+    sharded_channel_power,
     sharded_fir_filter,
     sharded_pfb_channelize,
+    sharded_pfb_channelize_frames,
     sharded_spectrogram,
     sharded_wbfm_demod,
 )
@@ -30,8 +32,10 @@ __all__ = [
     "dist_ifft",
     "dist_fft_shape",
     "permuted_to_natural_host",
+    "sharded_channel_power",
     "sharded_fir_filter",
     "sharded_pfb_channelize",
+    "sharded_pfb_channelize_frames",
     "sharded_spectrogram",
     "sharded_wbfm_demod",
     "BarrierTimeout",

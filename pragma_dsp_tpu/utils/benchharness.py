@@ -37,10 +37,21 @@ def device_specs() -> Dict[str, float]:
     for key, (bw, f32, bf16) in _DEVICE_SPECS.items():
         if key in kind:
             return {"hbm_bytes_per_s": bw, "f32_flops": f32, "bf16_flops": bf16,
-                    "kind": kind}
+                    "vpu_flops": _vpu_peak(bf16), "kind": kind}
     return {"hbm_bytes_per_s": _DEVICE_SPECS["cpu"][0],
             "f32_flops": _DEVICE_SPECS["cpu"][1],
-            "bf16_flops": _DEVICE_SPECS["cpu"][2], "kind": kind}
+            "bf16_flops": _DEVICE_SPECS["cpu"][2],
+            "vpu_flops": _vpu_peak(_DEVICE_SPECS["cpu"][2]), "kind": kind}
+
+
+def _vpu_peak(bf16_flops: float) -> float:
+    """Modeled VPU peak (elementwise f32 ops/s): 4 ALUs x (8, 128) = 1024
+    vector lanes per cycle, clock inferred from the MXU bf16 peak
+    (bf16_flops / (4 MXUs x 128x128 MACs x 2 flops)). Algebraically
+    that is bf16_flops / 32 — e.g. v5e: 197 TF/s -> ~6.2 T elementwise
+    op/s. A modeled convention (like the HBM%% accounting), used to name
+    which engine binds a kernel row, not a vendor spec."""
+    return bf16_flops / 32.0
 
 
 def memory_snapshot() -> Dict[str, int]:

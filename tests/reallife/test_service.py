@@ -3,6 +3,7 @@ spectrum_fx parity with spectrum(), cache-instance identity, streaming."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pragma_dsp_tpu import spectrum
 from pragma_dsp_tpu.stream import (
@@ -40,6 +41,7 @@ def test_window_cache_identity():
     assert svc.window("hann", 256) is not svc.window("hann", 512)
 
 
+@pytest.mark.slow
 def test_spectrum_stream_three_frames(pure_sine_refs):
     frames = [np.asarray(c["signal"], dtype=np.float32)
               for c in pure_sine_refs["cases"][:3]]

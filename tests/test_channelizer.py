@@ -6,7 +6,8 @@ import pytest
 
 from pragma_dsp_tpu.core import ComplexArray
 from pragma_dsp_tpu.ops.channelizer import (
-    pfb_channelize, pfb_channelize_step, pfb_stream_init, pfb_taps,
+    pfb_channelize, pfb_channelize_frames, pfb_channelize_frames_step,
+    pfb_channelize_step, pfb_frames_stream_init, pfb_stream_init, pfb_taps,
 )
 from pragma_dsp_tpu.utils.fixtures import assert_snr, snr_db
 
@@ -99,6 +100,105 @@ def test_rejects_misaligned_length():
         pfb_channelize(_ca(np.ones(100) + 0j), 16)
 
 
+# ── (M, C)-frames entry (round-4 VERDICT #2: the measured no-relayout
+#    path needs a public API) ──
+
+
+def test_frames_entry_equals_flat():
+    c = 16
+    x = RNG.standard_normal(c * 64) + 1j * RNG.standard_normal(c * 64)
+    h = pfb_taps(c, 8)
+    ref = pfb_channelize(_ca(x), c, h)
+    frames = x.reshape(64, c)
+    got = pfb_channelize_frames(_ca(frames), c, h)
+    np.testing.assert_allclose(np.asarray(got.real),
+                               np.asarray(ref.real), atol=0)
+    np.testing.assert_allclose(np.asarray(got.imag),
+                               np.asarray(ref.imag), atol=0)
+
+
+def test_frames_entry_batched():
+    c = 16
+    x = RNG.standard_normal((3, c * 32)) + 1j * RNG.standard_normal((3, c * 32))
+    h = pfb_taps(c, 8)
+    ref = pfb_channelize(_ca(x), c, h)
+    got = pfb_channelize_frames(_ca(x.reshape(3, 32, c)), c, h)
+    assert got.real.shape == (3, 32, c)
+    np.testing.assert_allclose(np.asarray(got.real),
+                               np.asarray(ref.real), atol=0)
+
+
+def test_frames_entry_rejects_bad_shape():
+    with pytest.raises(ValueError):
+        pfb_channelize_frames(_ca(np.ones((8, 24)) + 0j), 16)
+    with pytest.raises(ValueError):
+        pfb_channelize_frames(_ca(np.ones(64) + 0j), 16)
+
+
+def test_frames_streaming_matches_batch():
+    c = 16
+    chunks = [RNG.standard_normal((16, c)) + 1j * RNG.standard_normal((16, c))
+              for _ in range(4)]
+    full = np.concatenate(chunks, axis=0)
+    h = pfb_taps(c, 8)
+    ref = pfb_channelize_frames(_ca(full), c, h)
+
+    state = pfb_frames_stream_init(c, 8, dtype=jnp.float64)
+    outs_re, outs_im = [], []
+    for ch in chunks:
+        state, y = pfb_channelize_frames_step(state, _ca(ch), c, h)
+        outs_re.append(np.asarray(y.real))
+        outs_im.append(np.asarray(y.imag))
+    got_re = np.concatenate(outs_re, axis=0)
+    got_im = np.concatenate(outs_im, axis=0)
+    assert got_re.shape == ref.real.shape
+    np.testing.assert_allclose(got_re, np.asarray(ref.real), atol=1e-9)
+    np.testing.assert_allclose(got_im, np.asarray(ref.imag), atol=1e-9)
+
+
+def test_frames_streaming_equals_flat_streaming():
+    """The frames step and the flat step are the same stream in two
+    views: identical outputs frame-for-frame."""
+    c = 16
+    chunks = [RNG.standard_normal(c * 8) + 1j * RNG.standard_normal(c * 8)
+              for _ in range(3)]
+    h = pfb_taps(c, 8)
+    sf = pfb_stream_init(c, 8, dtype=jnp.float64)
+    sF = pfb_frames_stream_init(c, 8, dtype=jnp.float64)
+    for ch in chunks:
+        sf, yf = pfb_channelize_step(sf, _ca(ch), c, h)
+        sF, yF = pfb_channelize_frames_step(
+            sF, _ca(ch.reshape(-1, c)), c, h)
+        np.testing.assert_allclose(np.asarray(yF.real),
+                                   np.asarray(yf.real), atol=0)
+        np.testing.assert_allclose(np.asarray(yF.imag),
+                                   np.asarray(yf.imag), atol=0)
+
+
+@pytest.mark.slow
+def test_fused_frames_kernel_equals_flat_kernel():
+    from pragma_dsp_tpu.ops.pfb_pallas import (
+        pfb_channelize_frames_pallas, pfb_channelize_pallas)
+
+    rng = np.random.default_rng(8)
+    c = 256
+    L = c * 24
+    x = rng.standard_normal(L) + 1j * rng.standard_normal(L)
+    xc = ComplexArray(jnp.asarray(x.real, jnp.float32),
+                      jnp.asarray(x.imag, jnp.float32))
+    h = jnp.asarray(pfb_taps(c, 8), jnp.float32)
+    ref = pfb_channelize_pallas(xc, h, c, interpret=True,
+                                precision="highest")
+    fr = ComplexArray(xc.real.reshape(-1, c), xc.imag.reshape(-1, c))
+    got = pfb_channelize_frames_pallas(fr, h, c, interpret=True,
+                                       precision="highest")
+    np.testing.assert_allclose(np.asarray(got.real),
+                               np.asarray(ref.real), atol=0)
+    np.testing.assert_allclose(np.asarray(got.imag),
+                               np.asarray(ref.imag), atol=0)
+
+
+@pytest.mark.slow
 def test_channelizer_bf16x3_parity():
     """bf16x3 analysis-DFT mode keeps >=95 dB SNR vs the numpy golden at
     C=256 (channelizer.py precision plumbing; pallas impl forced so the
@@ -121,6 +221,7 @@ def test_channelizer_bf16x3_parity():
 # ── fused single-pass PFB kernel (ops/pfb_pallas.py) ──
 
 
+@pytest.mark.slow
 def test_fused_pfb_matches_reference_impl():
     """The fused kernel must equal the XLA-composed channelizer (same
     convention: branch filter + forward analysis DFT, natural order)."""
@@ -143,6 +244,7 @@ def test_fused_pfb_matches_reference_impl():
                                    np.asarray(ref.imag), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_pfb_f64_convention():
     """Direct check against the documented f64 convention (module
     docstring formula), tighter than impl-vs-impl."""
@@ -171,6 +273,7 @@ def test_fused_pfb_f64_convention():
     assert snr > 125.0, f"SNR {snr:.1f} dB"
 
 
+@pytest.mark.slow
 def test_fused_pfb_bf16x3_snr():
     from pragma_dsp_tpu.ops.pfb_pallas import pfb_channelize_pallas
 

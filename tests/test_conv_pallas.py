@@ -18,6 +18,8 @@ from pragma_dsp_tpu.ops.conv_pallas import circular_convolve_pallas
 from pragma_dsp_tpu.ops.fft_pallas import fft_pallas_permuted
 
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas tier
+
 def _hspec(h, n):
     hj = jnp.asarray(h, jnp.float32)
     return fft_pallas_permuted(ComplexArray(hj, jnp.zeros_like(hj)),

@@ -18,6 +18,7 @@ def _load(name):
     return load_json(os.path.join(fixtures_dir(), "dsp", f"{name}.json"))
 
 
+@pytest.mark.slow
 def test_fir_goldens():
     for c in _load("fir")["cases"]:
         y = fir_filter(jnp.asarray(c["input"], jnp.float64),

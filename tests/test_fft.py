@@ -42,6 +42,7 @@ def test_plan_class_validates():
         plan.forward(jnp.zeros(8))
 
 
+@pytest.mark.slow
 def test_plan_forward_inverse(unit_fixtures):
     for c in _cases(unit_fixtures, "random_normal"):
         plan = Radix2Fft(c["n"])
@@ -60,6 +61,7 @@ def test_forward_complex_matches_numpy():
     assert_close(ref.imag, np.asarray(out.imag), abs_tol=1e-10)
 
 
+@pytest.mark.slow
 def test_batched_fft_matches_numpy():
     rng = np.random.default_rng(11)
     x = rng.standard_normal((3, 5, 128))
@@ -69,6 +71,7 @@ def test_batched_fft_matches_numpy():
     assert_close(ref.imag, np.asarray(out.imag), abs_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_fft_over_axis0():
     rng = np.random.default_rng(13)
     x = rng.standard_normal((64, 9))
@@ -107,6 +110,7 @@ def test_plan_routes_through_dispatch():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_precision_modes():
     """bf16x3 split-dot mode keeps >=100 dB SNR vs numpy f64 and the
     permuted->natural contract identical to the highest-precision path

@@ -36,6 +36,7 @@ def test_fir_batched():
             assert_snr(ref, got[i, j], 120)
 
 
+@pytest.mark.slow
 def test_fir_complex_input():
     z = RNG.standard_normal(2000) + 1j * RNG.standard_normal(2000)
     taps = sps.firwin(65, 0.3)
@@ -46,6 +47,7 @@ def test_fir_complex_input():
     assert_snr(ref.imag, np.asarray(got.imag), 120)
 
 
+@pytest.mark.slow
 def test_overlap_save_equals_direct():
     x = RNG.standard_normal(10000)
     taps = sps.firwin(127, 0.2)
@@ -93,6 +95,7 @@ def test_overlap_save_rejects_tiny_block():
         overlap_save_filter(x, taps, block=256)
 
 
+@pytest.mark.slow
 def test_overlap_save_bf16x3_parity():
     """bf16x3 split-dot overlap-save keeps >=100 dB SNR vs lfilter and the
     full-precision pallas path (fir.py precision plumbing; pallas forced

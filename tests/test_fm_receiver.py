@@ -3,6 +3,7 @@ demodulate through the full chain, recover it SNR-bounded."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import signal as sps
 
 from pragma_dsp_tpu.core import ComplexArray
@@ -40,6 +41,7 @@ def test_wbfm_tone_recovery():
     assert snr_db(fitted, trim) > 30
 
 
+@pytest.mark.slow
 def test_wbfm_one_call():
     fs = 2.4e6
     n = int(fs * 0.01)
@@ -56,6 +58,7 @@ def test_wbfm_one_call():
     assert abs(freqs[np.argmax(spec[1:]) + 1] - 440.0) < 60.0
 
 
+@pytest.mark.slow
 def test_batched_chain():
     fs = 2.4e6
     n = int(fs * 0.02)
@@ -89,6 +92,7 @@ def test_am_receiver_recovers_tone():
     assert abs(freqs[np.argmax(spec[1:]) + 1] - 1000.0) < 60.0
 
 
+@pytest.mark.slow
 def test_f32_long_stream_precision_audit():
     """Round-2 VERDICT weak #7 / next-step #7: the de-emphasis IIR's
     associative scan multiplies alpha-chains millions deep; quantify the

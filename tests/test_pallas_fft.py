@@ -14,6 +14,8 @@ from pragma_dsp_tpu.ops import (
 from pragma_dsp_tpu.utils.fixtures import snr_db
 from pragma_dsp_tpu.xform.fourier import window_values
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas tier
+
 RNG = np.random.default_rng(0)
 
 

@@ -107,3 +107,61 @@ def test_batched_resample():
     for i in range(6):
         ref = sps.upfirdn(taps, x[i], 3, 2)
         assert_snr(ref, got[i], 120)
+
+
+# ── multi-stage cascade (round-4 VERDICT #4) ──
+
+
+def test_cascade_matches_scipy_chain():
+    """Each cascade stage is scipy-upfirdn-exact, so the whole cascade
+    must match scipy applying the same stages in sequence."""
+    from pragma_dsp_tpu.ops.polyphase import (resample_poly_cascade,
+                                              resampler_taps)
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(4800)
+    factors = [(3, 4), (7, 8), (7, 5)]
+    ref = x
+    for up, down in factors:
+        h = resampler_taps(up, down, 8 * max(up, down) + 1)
+        ref = sps.upfirdn(h, ref, up, down)
+    got = np.asarray(resample_poly_cascade(jnp.asarray(x), factors))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 100.0
+
+
+def test_cascade_rate_and_quality_match_single_stage():
+    """(3/4)(7/8)(7/5) = 147/160: a passband tone comes through the
+    cascade at the same rate and amplitude class as the single stage."""
+    from pragma_dsp_tpu.ops.polyphase import (resample_poly,
+                                              resample_poly_cascade)
+
+    fs = 48000.0
+    n = 48000
+    t = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 1000.0 * t)
+    a = np.asarray(resample_poly(jnp.asarray(x), 147, 160,
+                                 num_taps=8 * 147 + 1))
+    b = np.asarray(resample_poly_cascade(jnp.asarray(x),
+                                         [(3, 4), (7, 8), (7, 5)]))
+    # output lengths agree to within the differing group delays
+    assert abs(len(a) - len(b)) < 64
+    m = min(len(a), len(b)) - 2000
+    # compare against the ideal resampled tone, skipping both transients
+    fs2 = fs * 147 / 160
+    t2 = np.arange(m - 1000) / fs2
+    for y in (a, b):
+        seg = y[1000:m]
+        ref_c = np.exp(1j * 2 * np.pi * 1000.0 * t2)
+        amp = np.abs(np.vdot(ref_c, seg)) * 2 / len(seg)
+        # composite cascade passband ripple is ~0.2% with the default
+        # per-stage designs vs ~0.02% single-stage — same quality class
+        assert abs(amp - 1.0) < 5e-3, f"tone amplitude {amp}"
+
+
+def test_cascade_validates_taps_list():
+    from pragma_dsp_tpu.ops.polyphase import resample_poly_cascade
+
+    with pytest.raises(ValueError, match="stages"):
+        resample_poly_cascade(jnp.zeros(100), [(3, 4), (7, 8)],
+                              taps=[np.ones(5)])

@@ -11,6 +11,7 @@ from pragma_dsp_tpu.xform.fourier import window_values
 RNG = np.random.default_rng(60)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [8, 64, 256, 1024])
 def test_rfft_matches_numpy(n):
     x = RNG.standard_normal((3, n))
@@ -20,6 +21,7 @@ def test_rfft_matches_numpy(n):
     assert np.abs(out - ref).max() < 1e-10 * max(1.0, np.abs(ref).max())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [8, 256, 1024])
 def test_irfft_roundtrip(n):
     x = RNG.standard_normal((2, n))

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pragma_dsp_tpu import spectrum
 
@@ -35,6 +36,7 @@ def test_default_fft_size_pads_to_next_pow2():
     assert r.amplitude.shape[-1] == 128 // 2 + 1
 
 
+@pytest.mark.slow
 def test_batched_spectrum_matches_loop(unit_fixtures):
     c = _sine_case(unit_fixtures)
     x = np.asarray(c["input"])

@@ -2,12 +2,16 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pragma_dsp_tpu.stream import (
     StftState, frame_signal, istft, spectrogram, stft, stft_step,
     stft_stream_init,
 )
 from pragma_dsp_tpu.xform.fourier import window_values
+
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas tier
 
 
 def _numpy_stft(x, n_fft, hop, window):
