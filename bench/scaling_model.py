@@ -61,7 +61,72 @@ def fmt_us(t):
     return f"{t*1e6:.1f} us"
 
 
-def model():
+def measure_chunk_overhead():
+    """Single-chip overhead of corner-turn chunking (round-4 VERDICT
+    #6): on a 1-device mesh the all_to_all is degenerate, so the
+    chunks-C dist_fft time minus the chunks-1 time is PURE compute-side
+    chunking cost (slices + separate second-stage FFTs + concat). Runs
+    a 1M-point transform at chunks in {1, 2, 4, 8} on the attached
+    backend (meaningful on TPU) and returns {chunks: seconds/iter}."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from pragma_dsp_tpu.core.complex import ComplexArray
+    from pragma_dsp_tpu.parallel import data_mesh, dist_fft, dist_fft_shape
+
+    mesh = data_mesh(1)
+    n = 1 << 20
+    n2, n1 = dist_fft_shape(n, 1)
+    rng = np.random.default_rng(0)
+    zr = jnp.asarray(rng.standard_normal((n2, n1)), jnp.float32)
+    zi = jnp.asarray(rng.standard_normal((n2, n1)), jnp.float32)
+    k = 400 if jax.default_backend() == "tpu" else 2
+
+    def timed(c):
+        def step(r, i):
+            o = dist_fft(ComplexArray(r, i), mesh, chunks=c)
+            return o.real, o.imag
+
+        @jax.jit
+        def run(r, i):
+            out = lax.fori_loop(0, k, lambda _, s: step(*s), (r, i))
+            return jnp.sum(out[0][::113]) + jnp.sum(out[1][::113])
+        float(run(zr, zi))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(zr, zi))
+            best = min(best, time.perf_counter() - t0)
+        return best / k
+
+    # subtract the dispatch RTT via an empty-ish loop
+    tiny = jnp.ones((8, 128))
+
+    @jax.jit
+    def rttf(v):
+        return jnp.sum(lax.fori_loop(0, 400, lambda _, c: c * 1.000001,
+                                     v))
+    float(rttf(tiny))
+    import time as _t
+    rtt = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        float(rttf(tiny))
+        rtt = min(rtt, _t.perf_counter() - t0)
+
+    out = {}
+    for c in (1, 2, 4, 8):
+        out[c] = timed(c) - rtt / k
+        print(f"  1-dev 1M-pt dist_fft chunks={c}: {out[c]*1e6:.1f} us",
+              file=sys.stderr)
+    return out
+
+
+def model(overhead_curve=None):
     t = parse_kernel_table()
 
     def thr(key):
@@ -123,6 +188,17 @@ def model():
         t_r = t_c * rfrac
         dcn.append((name, t_c, bytes_hop, t_m,
                     t_c / (t_c + t_m + t_r), t_c / (max(t_c, t_m) + t_r)))
+    # No-turn config-5 consumer (sharded_channel_power): frames stay
+    # sharded; the ONLY collective is a psum of the [n_fft, C] power
+    # accumulator — 128*256 f32 = 131 KB, independent of stream length.
+    rate = thr("PFB 256ch")
+    t_c = L / rate                     # PFB dominates; periodogram ~free
+    pw_bytes = 128 * 256 * 4
+    t_m = pw_bytes / A2A_BW + ICI_LAT
+    rows.append(("PFB + channel power (no turn)", t_c, "psum",
+                 pw_bytes, t_m, t_c / (t_c + t_m), t_c / max(t_c, t_m),
+                 "frames-sharded consumer, VERDICT r4 #5"))
+
     # PFB: each host sends the half of its output owned by the other
     # host: 4 chips x L x 8 B x 1/2 per host over DCN.
     rate = thr("PFB 256ch")
@@ -131,6 +207,44 @@ def model():
     t_m = pfb_dcn_bytes / DCN_BW + DCN_LAT
     dcn.append(("PFB 256ch corner turn", t_c, pfb_dcn_bytes, t_m,
                 t_c / (t_c + t_m), t_c / max(t_c, t_m)))
+    # No-turn consumer over DCN: the psum crosses the host boundary
+    # once; 131 KB against 25 GB/s + latency is negligible.
+    t_m = pw_bytes / DCN_BW + DCN_LAT
+    dcn.append(("PFB + channel power (no turn)", t_c, pw_bytes, t_m,
+                t_c / (t_c + t_m), t_c / max(t_c, t_m)))
+
+    # ── corner-turn overlap depth (round-4 VERDICT #6): the depth the
+    # shipped _auto_chunks picks, from the same optimal_chunks model
+    # dist_fft consumes, with the measured 1-device overhead curve. ──
+    from pragma_dsp_tpu.parallel import optimal_chunks
+    from pragma_dsp_tpu.parallel.dist_fft import (_CHUNK_OVERHEAD_S,
+                                                  dist_fft_shape)
+    if overhead_curve:
+        incr = [(overhead_curve[c] - overhead_curve[1]) / (c - 1)
+                for c in (2, 4, 8) if c in overhead_curve]
+        o_meas = max(1e-7, sum(incr) / len(incr))
+        o_note = ("measured this capture: chunks 1/2/4/8 = "
+                  + "/".join(f"{overhead_curve[c]*1e6:.1f}"
+                             for c in sorted(overhead_curve))
+                  + f" us -> o ~= {o_meas*1e6:.1f} us/chunk")
+    else:
+        o_meas = _CHUNK_OVERHEAD_S
+        o_note = (f"recorded constant o = {o_meas*1e6:.1f} us/chunk "
+                  "(1-device curve, BASELINE r5 capture)")
+    depth_rows = []
+    fr = thr("pallas fft permuted 1024 bf16x3")
+    for npts in (1 << 20, 1 << 23, 1 << 26):
+        dn2, dn1 = dist_fft_shape(npts, CHIPS)
+        local = npts // CHIPS
+        for link, bw in (("ICI", A2A_BW), ("DCN", DCN_BW)):
+            t_comm = 8.0 * local * (CHIPS - 1) / CHIPS / bw
+            t_fft2 = local / fr
+            cstar = optimal_chunks(dn2, dn1, CHIPS, a2a_bw=bw,
+                                   fft_rate=fr, overhead_s=o_meas)
+            tot = (t_fft2 + max(t_comm, t_fft2)
+                   + min(t_comm, t_fft2) / cstar + cstar * o_meas)
+            eff = 2 * t_fft2 / tot
+            depth_rows.append((npts, link, t_comm, t_fft2, cstar, eff))
 
     lines = [
         MARK_BEGIN,
@@ -180,6 +294,23 @@ def model():
         lines.append(
             f"| {name} | {fmt_us(t_c)} | {b/1e3:,.1f} KB | {fmt_us(t_m)} "
             f"| {100*e0:.0f}% | {100*e1:.0f}% |")
+    lines += [
+        "",
+        "### Corner-turn overlap depth (dist_fft `chunks=None` policy)",
+        "",
+        "`parallel.optimal_chunks` minimises max(t_comm, t_fft2) + "
+        "min/C + C*o over the overlap depth C (o = per-chunk "
+        "compute-side cost from the 1-device curve below); dist_fft's "
+        "auto policy IS this table. " + o_note + ".",
+        "",
+        "| N | link | t_comm | t_fft2 | auto depth | eff (ovl) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for npts, link, t_comm, t_fft2, cstar, eff in depth_rows:
+        lines.append(
+            f"| {npts >> 20}M | {link} | {fmt_us(t_comm)} | "
+            f"{fmt_us(t_fft2)} | {cstar} | {100*eff:.0f}% |")
+
     pfb_line_rate = 100e6 * 8 / 2 / DCN_BW
     lines += [
         "",
@@ -210,8 +341,13 @@ def model():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write-baseline", action="store_true")
+    ap.add_argument("--measure-overhead", action="store_true",
+                    help="run the 1-device chunk-overhead curve on the "
+                         "attached backend (TPU) and fold it into the "
+                         "depth table")
     args = ap.parse_args()
-    section = model()
+    curve = measure_chunk_overhead() if args.measure_overhead else None
+    section = model(curve)
     print(section)
     if args.write_baseline:
         text = open(BASELINE).read()

@@ -45,7 +45,8 @@ from ..core.complex import ComplexArray, as_complex_array, is_power_of_two
 from ..ops.dispatch import fft as _fft, ifft as _ifft
 from ..ops.fft_fourstep import _twiddle_grid
 
-__all__ = ["dist_fft", "dist_ifft", "dist_fft_shape", "permuted_to_natural_host"]
+__all__ = ["dist_fft", "dist_ifft", "dist_fft_shape",
+           "optimal_chunks", "permuted_to_natural_host"]
 
 
 def dist_fft_shape(n: int, n_devices: int) -> Tuple[int, int]:
@@ -219,15 +220,48 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
                              out_specs=out_spec, check_vma=False))
 
 
-def _auto_chunks(n2: int, n1: int, d: int, inverse: bool) -> int:
-    """Overlap depth: 2 when the chunked dimension splits evenly and is
-    big enough that splitting does not shrink the per-chunk collective
-    below a useful message size; else 1 (monolithic)."""
+# ── overlap-depth model (round-4 VERDICT #6: depth derived from the
+# t_comm/t_fft2 model, not hardwired) ──
+#
+# With the turn split into C chunks pipelined against the second local
+# FFT, total ≈ max(t_comm, t_fft2) + min(t_comm, t_fft2)/C + C·o where
+# o is the per-chunk compute-side overhead (slice + separate FFT
+# dispatch + concat — measured on the 1-device mesh, where the a2a is
+# degenerate and ONLY the overhead remains: bench/scaling_model.py
+# --measure-overhead writes the curve into BASELINE.md). Minimising in
+# C gives C* = sqrt(min(t_comm, t_fft2) / o), rounded to the nearest
+# power of two that divides the chunked extent, capped at 8.
+_A2A_BW = 4 * 4.5e10 / (12 / 7)   # v5e a2a eff. B/s/chip (scaling model)
+_FFT2_RATE = 45e9                 # complex samples/s, local row FFT (v5e)
+_CHUNK_OVERHEAD_S = 3e-6          # per-chunk cost, 1-dev curve (BASELINE)
+
+
+def optimal_chunks(n2: int, n1: int, d: int, inverse: bool = False,
+                   a2a_bw: float = _A2A_BW,
+                   fft_rate: float = _FFT2_RATE,
+                   overhead_s: float = _CHUNK_OVERHEAD_S) -> int:
+    """Efficiency-optimal corner-turn overlap depth for an (n2, n1)
+    transform on d devices (model above; also consumed by
+    bench/scaling_model.py for the depth table in BASELINE.md)."""
     extent = (n1 // d) if inverse else (n2 // d)
-    for c in (2,):
-        if extent % c == 0 and extent // c >= 2:
-            return c
-    return 1
+    if d == 1:
+        return 1                  # no collective: depth is pure overhead
+    local = n2 * n1 // d
+    t_comm = 8.0 * local * (d - 1) / d / a2a_bw
+    t_fft2 = local / fft_rate
+    c_star = (min(t_comm, t_fft2) / overhead_s) ** 0.5
+    best = 1
+    c = 2
+    while c <= 8 and extent % c == 0 and extent // c >= 2:
+        # round to nearest power of two: take c while c <= c_star*sqrt(2)
+        if c <= c_star * 1.4142:
+            best = c
+        c *= 2
+    return best
+
+
+def _auto_chunks(n2: int, n1: int, d: int, inverse: bool) -> int:
+    return optimal_chunks(n2, n1, d, inverse)
 
 
 def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
@@ -243,8 +277,9 @@ def dist_fft(x, mesh: Mesh, axis: str = "x", inverse: bool = False,
 
     ``chunks`` controls comm/compute overlap: the corner-turn
     all_to_all is issued in that many pieces interleaved with the
-    second local FFT (None -> automatic: 2 when the shard extent splits
-    evenly). chunks=1 is the monolithic round-2 behaviour.
+    second local FFT (None -> :func:`optimal_chunks`, the
+    t_comm/t_fft2-vs-overhead model; 1 on a 1-device mesh where depth
+    is pure overhead). chunks=1 is the monolithic round-2 behaviour.
 
     ``batch_axis`` names a second mesh axis over which the OUTERMOST
     batch dim is sharded (dp over hosts while each transform shards

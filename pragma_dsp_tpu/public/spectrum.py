@@ -140,7 +140,12 @@ def spectrum(
         raise TypeError(
             f"spectrum() takes real samples, got {samples.dtype}; for "
             "complex input use ops.fft + xform.fourier.magnitude/phase")
-    if samples.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
+    if samples.dtype not in (jnp.float32, jnp.float64):
+        # bf16 (and int) input upcasts to f32 so the beginner rung always
+        # rides the fused TPU kernel — the bf16 mantissa is preserved
+        # exactly and computing the pipeline IN bf16 would only lose
+        # precision (round-4 VERDICT #9: deliberate, pinned by
+        # tests/test_spectrum.py::test_bf16_input_rides_f32_pipeline).
         samples = samples.astype(jnp.float32)
     target_size = fft_size if fft_size is not None else next_power_of_two(samples.shape[-1])
 

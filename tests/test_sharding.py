@@ -321,7 +321,7 @@ def test_dist_fft_batched(mesh):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("chunks", [1, 2, 4])
+@pytest.mark.parametrize("chunks", [1, 2, 4, 8])
 def test_dist_fft_chunked_overlap_parity(mesh, chunks):
     """Every overlap depth must give the identical transform (the
     chunked corner turn slices output rows/lanes, changing only the
@@ -646,3 +646,35 @@ def test_2d_mesh_channel_power(mesh2d):
     w = np.asarray(create_window("hann", n_fft), np.float64)
     ref = _channel_power_oracle(y, n_fft, w)
     np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-12)
+
+
+def test_optimal_chunks_model():
+    """The auto overlap depth comes from the t_comm/t_fft2 model
+    (round-4 VERDICT #6): 1 on a 1-device mesh (pure overhead), always
+    a divisor of the chunked extent, and deeper for bigger transforms
+    where the hideable tail amortises the per-chunk cost."""
+    from pragma_dsp_tpu.parallel import optimal_chunks
+
+    assert optimal_chunks(1024, 1024, 1) == 1
+    for n2, n1 in [(128, 128), (1024, 1024), (4096, 2048)]:
+        for d in (2, 4, 8):
+            c = optimal_chunks(n2, n1, d)
+            assert (n2 // d) % c == 0
+            assert 1 <= c <= 8
+    # monotone in transform size (same d, same model constants)
+    c_small = optimal_chunks(128, 128, 8)
+    c_big = optimal_chunks(8192, 8192, 8)
+    assert c_big >= c_small
+
+
+def test_dist_fft_auto_depth_runs(mesh):
+    """chunks=None rides the model; parity must hold whatever it picks."""
+    n = 1 << 12
+    n2, n1 = dist_fft_shape(n, 8)
+    x = RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    xc = ComplexArray(jnp.asarray(x.reshape(n2, n1).real),
+                      jnp.asarray(x.reshape(n2, n1).imag))
+    got = permuted_to_natural_host(dist_fft(xc, mesh))
+    ref = np.fft.fft(x)
+    assert snr_db(np.stack([ref.real, ref.imag]),
+                  np.stack([got.real, got.imag])) > 200

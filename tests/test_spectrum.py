@@ -1,6 +1,7 @@
 """Beginner spectrum() tests on the bin-centered sine fixture
 (reference test/spectrum.test.ts:5-35)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -47,3 +48,23 @@ def test_batched_spectrum_matches_loop(unit_fixtures):
         np.testing.assert_allclose(np.asarray(rb.amplitude[i]),
                                    np.asarray(ri.amplitude), rtol=0, atol=1e-12)
         assert int(rb.peak.index[i]) == int(ri.peak.index)
+
+
+def test_bf16_input_rides_f32_pipeline():
+    """bf16 samples upcast to f32 (round-4 VERDICT #9): the result is
+    bit-identical to feeding the f32 value of the same bf16 data, so on
+    TPU the beginner rung always hits the fused kernel path."""
+    rng = np.random.default_rng(12)
+    x16 = jnp.asarray(rng.standard_normal(256), jnp.bfloat16)
+    r16 = spectrum(x16, sample_rate=48000.0, window="hann")
+    r32 = spectrum(x16.astype(jnp.float32), sample_rate=48000.0,
+                   window="hann")
+    assert r16.amplitude.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(r16.amplitude),
+                                  np.asarray(r32.amplitude))
+    np.testing.assert_array_equal(np.asarray(r16.phase),
+                                  np.asarray(r32.phase))
+    # and the fused-path predicate accepts what spectrum() now passes it
+    from pragma_dsp_tpu.public.spectrum import _use_fused_one_sided
+    assert _use_fused_one_sided(x16.astype(jnp.float32), 256, "one") \
+        == (jax.default_backend() == "tpu")
