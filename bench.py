@@ -100,7 +100,8 @@ def main() -> int:
         mn, md = per[0], per[len(per) // 2]
         spread = (per[-1] - per[0]) / md
         return dict(min_ms=round(mn * 1e3, 4), median_ms=round(md * 1e3, 4),
-                    spread_pct=round(100 * spread, 1))
+                    spread_pct=round(100 * spread, 1),
+                    runs_ms=[round(v * 1e3, 4) for v in per])
 
     # RTT floor via an empty-ish loop on a tiny array.
     tiny = jnp.ones((8, 128))

@@ -233,7 +233,9 @@ def _build_dist_fft(mesh: Mesh, axis: str, n2: int, n1: int, nd: int,
 # power of two that divides the chunked extent, capped at 8.
 _A2A_BW = 4 * 4.5e10 / (12 / 7)   # v5e a2a eff. B/s/chip (scaling model)
 _FFT2_RATE = 45e9                 # complex samples/s, local row FFT (v5e)
-_CHUNK_OVERHEAD_S = 3e-6          # per-chunk cost, 1-dev curve (BASELINE)
+_CHUNK_OVERHEAD_S = 2.2e-6        # per-chunk cost, measured 1-dev
+                                  # curve (BASELINE r5: 67.6/72.1/
+                                  # 72.8/69.4 us at C=1/2/4/8)
 
 
 def optimal_chunks(n2: int, n1: int, d: int, inverse: bool = False,
