@@ -19,7 +19,9 @@ from .sharded import (
     sharded_fir_filter,
     sharded_pfb_channelize,
     sharded_pfb_channelize_frames,
+    sharded_resample_poly,
     sharded_spectrogram,
+    sharded_upfirdn,
     sharded_wbfm_demod,
 )
 
@@ -38,7 +40,9 @@ __all__ = [
     "sharded_fir_filter",
     "sharded_pfb_channelize",
     "sharded_pfb_channelize_frames",
+    "sharded_resample_poly",
     "sharded_spectrogram",
+    "sharded_upfirdn",
     "sharded_wbfm_demod",
     "BarrierTimeout",
     "barrier",

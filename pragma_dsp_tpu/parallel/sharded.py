@@ -44,7 +44,8 @@ from ..xform.fourier import bin_frequencies
 __all__ = ["sharded_fir_filter", "sharded_spectrogram",
            "sharded_pfb_channelize",
            "sharded_pfb_channelize_frames",
-           "sharded_channel_power", "sharded_wbfm_demod"]
+           "sharded_channel_power", "sharded_upfirdn",
+           "sharded_resample_poly", "sharded_wbfm_demod"]
 
 
 def _last_axis_spec(nd: int, axis) -> P:
@@ -432,6 +433,104 @@ def sharded_channel_power(x, channels: int, taps=None,
                                       taps_per_branch, n_fft, window,
                                       xc.real.ndim)
     return fn(xc.real, xc.imag, taps)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_upfirdn(mesh: Mesh, axis, taps_bytes: bytes, k: int,
+                           up: int, down: int, nd: int, is_complex: bool):
+    from ..ops.polyphase import _upfirdn_history, upfirdn
+
+    # Taps close over the builder as a CONCRETE numpy array: passing
+    # them as a shard_map argument would trace them and silently knock
+    # upfirdn off its banded-MXU path onto the ~100x dilated-conv
+    # fallback (the config-4 root cause; jaxpr-guarded in tests).
+    taps_np = np.frombuffer(taps_bytes, dtype=np.float64).copy()
+    d = _extent(mesh, axis)
+    hist = _upfirdn_history(k, up, down)
+    start = hist * up // down
+
+    def one_plane(xb):
+        tail = xb[..., xb.shape[-1] - hist:]
+        perm = [(i, (i + 1) % d) for i in range(d)]
+        halo = jax.lax.ppermute(tail, axis, perm)
+        is_first = _flat_index(mesh, axis) == 0
+        halo = jnp.where(is_first, jnp.zeros_like(halo), halo)
+        buf = jnp.concatenate([halo, xb], axis=-1)
+        full = upfirdn(buf, taps_np, up, down)
+        count = xb.shape[-1] * up // down
+        return full[..., start:start + count]
+
+    spec = _last_axis_spec(nd, axis)
+    if is_complex:
+        fn = shard_map(lambda r, i: (one_plane(r), one_plane(i)),
+                       mesh=mesh, in_specs=(spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    else:
+        fn = shard_map(one_plane, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_upfirdn(x, taps, up: int = 1, down: int = 1, *, mesh: Mesh,
+                    axis="x") -> Array:
+    """scipy-semantics ``upfirdn`` with the time axis sharded in D
+    contiguous blocks, equal to the PREFIX of the single-device result
+    (the filter ring-out tail — the last ceil((K-up)/down) samples,
+    which depend on input that hasn't arrived — is omitted, the same
+    streaming-prefix contract as ``ops.upfirdn_step``).
+
+    Each device pulls the previous block's last ``history`` input
+    samples with one `ppermute` (history rounded up so the polyphase
+    decimation grid realigns exactly: history*up % down == 0 — the
+    quantum-aligned-shift property the WBFM chain also relies on) and
+    drops the recomputed warm-up outputs. The per-device block length
+    must satisfy (L/D)*up % down == 0 so every shard emits a static,
+    equal output count.
+    """
+    taps_np = np.asarray(taps, dtype=np.float64)
+    k = int(taps_np.shape[0])
+    from ..ops.polyphase import _upfirdn_history
+
+    d = _extent(mesh, axis)
+    if isinstance(x, ComplexArray) or (
+            not isinstance(x, ComplexArray) and jnp.iscomplexobj(x)):
+        xc = as_complex_array(x)
+        lloc = xc.real.shape[-1] // d
+        if (lloc * up) % down != 0:
+            raise ValueError(
+                f"per-device block {lloc} must satisfy block*{up} % "
+                f"{down} == 0")
+        fn = _build_sharded_upfirdn(mesh, axis, taps_np.tobytes(), k, up,
+                                    down, xc.real.ndim, True)
+        ore, oim = fn(xc.real, xc.imag)
+        return ComplexArray(ore, oim)
+    x = jnp.asarray(x)
+    lloc = x.shape[-1] // d
+    if (lloc * up) % down != 0:
+        raise ValueError(
+            f"per-device block {lloc} must satisfy block*{up} % "
+            f"{down} == 0")
+    fn = _build_sharded_upfirdn(mesh, axis, taps_np.tobytes(), k, up,
+                                down, x.ndim, False)
+    return fn(x)
+
+
+def sharded_resample_poly(x, up: int, down: int, taps=None,
+                          num_taps: int = 127, *, mesh: Mesh,
+                          axis="x") -> Array:
+    """Time-sharded rational resampler (config 3 at the "1 host" scale):
+    ``ops.resample_poly`` semantics over a block-sharded stream, exact
+    prefix of the single-device result (see ``sharded_upfirdn``)."""
+    import math as _math
+
+    from ..ops.polyphase import resampler_taps
+
+    g = _math.gcd(up, down)
+    up //= g
+    down //= g
+    if taps is None:
+        taps = resampler_taps(up, down, num_taps)
+    return sharded_upfirdn(x, taps, up, down, mesh=mesh, axis=axis)
 
 
 @functools.lru_cache(maxsize=32)

@@ -678,3 +678,72 @@ def test_dist_fft_auto_depth_runs(mesh):
     ref = np.fft.fft(x)
     assert snr_db(np.stack([ref.real, ref.imag]),
                   np.stack([got.real, got.imag])) > 200
+
+
+# ── time-sharded resampler (completes the sharded surface: every ops
+#    pipeline has a parallel counterpart) ──
+
+
+def test_sharded_upfirdn_prefix_parity(mesh):
+    from pragma_dsp_tpu.ops.polyphase import resampler_taps, upfirdn
+    from pragma_dsp_tpu.parallel import sharded_upfirdn
+
+    up, down = 147, 160
+    taps = resampler_taps(up, down, 8 * up + 1)
+    lloc = 3200                              # lloc*147 % 160 == 0
+    x = RNG.standard_normal(8 * lloc)
+    got = np.asarray(sharded_upfirdn(jnp.asarray(x), taps, up, down,
+                                     mesh=mesh))
+    full = np.asarray(upfirdn(jnp.asarray(x), taps, up, down))
+    assert got.shape[0] == len(x) * up // down
+    np.testing.assert_allclose(got, full[: got.shape[0]], atol=1e-9)
+
+
+def test_sharded_resample_poly_complex(mesh):
+    from pragma_dsp_tpu.ops.polyphase import resample_poly
+    from pragma_dsp_tpu.parallel import sharded_resample_poly
+
+    lloc = 3200
+    z = RNG.standard_normal(8 * lloc) + 1j * RNG.standard_normal(8 * lloc)
+    zc = ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag))
+    got = sharded_resample_poly(zc, 147, 160, mesh=mesh)
+    full = resample_poly(zc, 147, 160)
+    m = got.real.shape[0]
+    np.testing.assert_allclose(np.asarray(got.real),
+                               np.asarray(full.real)[:m], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.imag),
+                               np.asarray(full.imag)[:m], atol=1e-9)
+
+
+def test_sharded_upfirdn_decimate(mesh):
+    from pragma_dsp_tpu.ops.polyphase import design_lowpass, upfirdn
+    from pragma_dsp_tpu.parallel import sharded_upfirdn
+
+    taps = design_lowpass(127, 0.2)
+    x = RNG.standard_normal(8 * 1024)
+    got = np.asarray(sharded_upfirdn(jnp.asarray(x), taps, 1, 4,
+                                     mesh=mesh))
+    full = np.asarray(upfirdn(jnp.asarray(x), taps, 1, 4))
+    np.testing.assert_allclose(got, full[: got.shape[0]], atol=1e-10)
+
+
+def test_sharded_upfirdn_stays_on_banded_path(mesh):
+    """The closed-over numpy taps must keep the banded-MXU lowering (a
+    traced-taps regression falls onto the ~100x dilated-conv path —
+    the config-4 bug class, jaxpr-guarded like the WBFM chain)."""
+    from pragma_dsp_tpu.parallel.sharded import _build_sharded_upfirdn
+    from pragma_dsp_tpu.ops.polyphase import resampler_taps
+
+    taps = np.asarray(resampler_taps(3, 4, 25), np.float64)
+    fn = _build_sharded_upfirdn(mesh, "x", taps.tobytes(), 25, 3, 4, 1,
+                                False)
+    jx = str(jax.make_jaxpr(fn)(jnp.zeros(8 * 64)))
+    assert "conv_general_dilated" not in jx
+
+
+def test_sharded_upfirdn_validates_block(mesh):
+    from pragma_dsp_tpu.parallel import sharded_upfirdn
+
+    with pytest.raises(ValueError, match="block"):
+        sharded_upfirdn(jnp.zeros(8 * 100), np.ones(9), 147, 160,
+                        mesh=mesh)
