@@ -160,6 +160,11 @@ def model(overhead_curve=None):
     add("WBFM chain (warm-up halo)", thr("WBFM demod chain"),
         "ppermute", 8200 * 8, PPERM_BW, ICI_LAT,
         recompute_frac=8200 / L)
+    # Time-sharded resampler halo: quantum-aligned history =
+    # roundup(ceil((K-1)/up)/ (down/g)) * (down/g) input samples
+    # (ops.polyphase._upfirdn_history; 1177 taps at 147/160 -> 160).
+    add("resampler 147/160 (halo)", thr("resample 48k->44.1k"),
+        "ppermute", 160 * 4, PPERM_BW, ICI_LAT)
     # PFB corner turn: (D-1)/D of the complex output crosses the a2a.
     add("PFB 256ch (corner turn)", thr("PFB 256ch"),
         "all_to_all", int(8 * L * (CHIPS - 1) / CHIPS), A2A_BW, ICI_LAT,
@@ -230,7 +235,9 @@ def model(overhead_curve=None):
     else:
         o_meas = _CHUNK_OVERHEAD_S
         o_note = (f"recorded constant o = {o_meas*1e6:.1f} us/chunk "
-                  "(1-device curve, BASELINE r5 capture)")
+                  "(v5e 1-device 1M-pt curve, r5 capture: chunks "
+                  "1/2/4/8 = 67.6/72.1/72.8/69.4 us; re-measure with "
+                  "--measure-overhead)")
     depth_rows = []
     fr = thr("pallas fft permuted 1024 bf16x3")
     for npts in (1 << 20, 1 << 23, 1 << 26):
@@ -322,7 +329,7 @@ def model(overhead_curve=None):
         "all_to_all pipelines are the honest exceptions: at full "
         "per-chip throughput the corner turn moves ~8 B/sample and "
         "binds on the interconnect (PFB ~"
-        f"{100*rows[3][6]:.0f}% ovl on ICI; cross-host PFB is "
+        f"{100*next(r[6] for r in rows if r[0].startswith('PFB 256ch (')):.0f}% ovl on ICI; cross-host PFB is "
         "DCN-bound at full rate). Two mitigations are already in the "
         "design: (a) config 5's REAL-TIME line rate is 100 Msps — at "
         "that rate the cross-host corner turn consumes "

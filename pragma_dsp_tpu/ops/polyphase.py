@@ -27,7 +27,9 @@ from ..core.complex import Array, ComplexArray, as_complex_array
 __all__ = ["upfirdn", "resample_poly", "resample_poly_cascade",
            "decimate", "interpolate",
            "design_lowpass", "resampler_taps",
-           "UpfirdnState", "upfirdn_stream_init", "upfirdn_step"]
+           "UpfirdnState", "upfirdn_stream_init", "upfirdn_step",
+           "CascadeState", "cascade_chunk_quantum",
+           "resample_cascade_stream_init", "resample_cascade_step"]
 
 
 def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming") -> np.ndarray:
@@ -304,6 +306,72 @@ def upfirdn_step(state: UpfirdnState, chunk, h, up: int = 1, down: int = 1):
     out = full[..., start:start + count]
     new_tail = buf[..., buf.shape[-1] - hist:]
     return UpfirdnState(tail=new_tail), out
+
+
+class CascadeState(NamedTuple):
+    """Streaming carry for a multi-stage cascade: one UpfirdnState per
+    stage (a pytree of pytrees — jit/scan/donation-compatible)."""
+
+    stages: tuple
+
+
+def cascade_chunk_quantum(factors) -> int:
+    """Smallest chunk length every cascade stage accepts: stage i needs
+    its input length len_i = q * prod(u_j/d_j, j<i) to be an integer
+    with len_i * u_i % d_i == 0, i.e. q * pu_i ≡ 0 (mod d_i * pd_i)."""
+    q = 1
+    pu, pd = 1, 1
+    for up, down in factors:
+        g = math.gcd(up, down)
+        up //= g
+        down //= g
+        need = (down * pd) // math.gcd(pu, down * pd)
+        q = q * need // math.gcd(q, need)
+        pu *= up
+        pd *= down
+    return q
+
+
+def resample_cascade_stream_init(factors, taps=None,
+                                 taps_per_phase: int = 8,
+                                 batch_shape=(), dtype=jnp.float32
+                                 ) -> CascadeState:
+    """Zero streaming state for :func:`resample_poly_cascade` (same
+    per-stage tap defaults)."""
+    states = []
+    for i, (up, down) in enumerate(factors):
+        g = math.gcd(up, down)
+        up //= g
+        down //= g
+        h = taps[i] if taps is not None else resampler_taps(
+            up, down, taps_per_phase * max(up, down) + 1)
+        states.append(upfirdn_stream_init(h, up, down, batch_shape, dtype))
+    return CascadeState(stages=tuple(states))
+
+
+def resample_cascade_step(state: CascadeState, chunk, factors, taps=None,
+                          taps_per_phase: int = 8):
+    """Chunked multi-stage resampling: each stage's ``upfirdn_step``
+    feeds the next, so concatenated step outputs equal the PREFIX of
+    ``resample_poly_cascade`` over the concatenated stream (every stage
+    carries the prefix contract through). Chunk length must be a
+    multiple of :func:`cascade_chunk_quantum`."""
+    q = cascade_chunk_quantum(factors)
+    if jnp.shape(jnp.asarray(chunk))[-1] % q != 0:
+        raise ValueError(
+            f"chunk length {jnp.shape(jnp.asarray(chunk))[-1]} must be a "
+            f"multiple of the cascade quantum {q}")
+    y = chunk
+    new_states = []
+    for i, (up, down) in enumerate(factors):
+        g = math.gcd(up, down)
+        up //= g
+        down //= g
+        h = taps[i] if taps is not None else resampler_taps(
+            up, down, taps_per_phase * max(up, down) + 1)
+        st, y = upfirdn_step(state.stages[i], y, h, up, down)
+        new_states.append(st)
+    return CascadeState(stages=tuple(new_states)), y
 
 
 def decimate(x, factor: int, taps=None, num_taps: int = 127,

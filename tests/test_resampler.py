@@ -165,3 +165,45 @@ def test_cascade_validates_taps_list():
     with pytest.raises(ValueError, match="stages"):
         resample_poly_cascade(jnp.zeros(100), [(3, 4), (7, 8)],
                               taps=[np.ones(5)])
+
+
+def test_cascade_quantum():
+    from pragma_dsp_tpu.ops.polyphase import cascade_chunk_quantum
+
+    assert cascade_chunk_quantum([(3, 4), (7, 8), (7, 5)]) == 160
+    assert cascade_chunk_quantum([(1, 4)]) == 4
+    assert cascade_chunk_quantum([(147, 160)]) == 160
+
+
+def test_cascade_streaming_matches_batch():
+    from pragma_dsp_tpu.ops.polyphase import (
+        cascade_chunk_quantum, resample_cascade_step,
+        resample_cascade_stream_init, resample_poly_cascade)
+
+    factors = [(3, 4), (7, 8), (7, 5)]
+    q = cascade_chunk_quantum(factors)
+    rng = np.random.default_rng(11)
+    chunks = [rng.standard_normal(q * 4) for _ in range(5)]
+    full = np.concatenate(chunks)
+    ref = np.asarray(resample_poly_cascade(jnp.asarray(full), factors))
+
+    st = resample_cascade_stream_init(factors, dtype=jnp.float64)
+    outs = []
+    for ch in chunks:
+        st, y = resample_cascade_step(st, jnp.asarray(ch), factors)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs)
+    # streaming emits the prefix (ring-out tails arrive with later input)
+    assert got.shape[0] <= ref.shape[0]
+    assert got.shape[0] == len(full) * 147 // 160
+    np.testing.assert_allclose(got, ref[: got.shape[0]], atol=1e-9)
+
+
+def test_cascade_step_validates_quantum():
+    from pragma_dsp_tpu.ops.polyphase import (
+        resample_cascade_step, resample_cascade_stream_init)
+
+    factors = [(3, 4), (7, 8), (7, 5)]
+    st = resample_cascade_stream_init(factors)
+    with pytest.raises(ValueError, match="quantum"):
+        resample_cascade_step(st, jnp.zeros(100), factors)
