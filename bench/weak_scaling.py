@@ -145,6 +145,47 @@ def main():
         print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
               f"{eff(thr, base, d)})")
 
+    print("== weak scaling: time-sharded resampler 147/160 (config 3) ==")
+    from pragma_dsp_tpu.parallel import sharded_resample_poly
+
+    per_dev = (1 << 19) if on_tpu else 16000
+    per_dev = per_dev // 160 * 160      # block*up % down == 0
+    base = None
+    for d in dev_counts:
+        mesh = data_mesh(d)
+        z = rng.standard_normal(d * per_dev).astype(np.float32)
+        xs = jax.device_put(jnp.asarray(z), NamedSharding(mesh, P("x")))
+        t = timed(lambda: sharded_resample_poly(
+            xs, 147, 160, num_taps=8 * 147 + 1, mesh=mesh))
+        thr = d * per_dev / t / 1e6
+        if base is None:
+            base = thr / d
+        print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
+              f"{eff(thr, base, d)})")
+
+    print("== weak scaling: no-turn channel power (config 5 consumer) ==")
+    from pragma_dsp_tpu.parallel import sharded_channel_power
+
+    n_fft_pw = 16
+    mloc = (256 if on_tpu else 32)
+    mloc = mloc // n_fft_pw * n_fft_pw
+    base = None
+    for d in dev_counts:
+        mesh = data_mesh(d)
+        m = d * mloc
+        z = rng.standard_normal((m, c)).astype(np.float32)
+        zi = rng.standard_normal((m, c)).astype(np.float32)
+        sh = NamedSharding(mesh, P("x", None))
+        fr = ComplexArray(jax.device_put(jnp.asarray(z), sh),
+                          jax.device_put(jnp.asarray(zi), sh))
+        t = timed(lambda: sharded_channel_power(fr, c, mesh=mesh,
+                                                n_fft=n_fft_pw))
+        thr = m * c / t / 1e6
+        if base is None:
+            base = thr / d
+        print(f"D={d}: {thr:9.1f} MS/s total  ({thr/d:8.1f} /dev, "
+              f"{eff(thr, base, d)})")
+
     print("== strong scaling: distributed FFT ==")
     n = (1 << 20) if on_tpu else (1 << 16)
     for d in dev_counts:

@@ -351,11 +351,15 @@ def sharded_pfb_channelize_frames(x, channels: int, taps=None,
 def _build_sharded_channel_power(mesh: Mesh, axis, channels: int,
                                  t_taps: int, taps_per_branch: int,
                                  n_fft: int, window: str, nd: int):
-    from ..xform.fourier import create_window
+    from ..xform.fourier import create_window, window_values
     from ..ops.dispatch import fft as _fft
 
     d = _extent(mesh, axis)
     hist = t_taps - 1
+    # window power in f64 numpy at build time (a jnp f64 cast would
+    # warn/truncate on non-x64 runtimes)
+    wpow = float(np.sum(np.asarray(window_values(window, n_fft),
+                                   np.float64) ** 2))
 
     def body(xr, xi, taps):
         yr, yi = _pfb_frames_local(xr, xi, taps, mesh=mesh, axis=axis,
@@ -381,7 +385,6 @@ def _build_sharded_channel_power(mesh: Mesh, axis, channels: int,
         # 8 B/sample all_to_all. This is the config-5 no-turn layout
         # consumed end-to-end.
         p = jax.lax.psum(p, axis)
-        wpow = jnp.sum(w.astype(jnp.float64) ** 2).astype(p.dtype)
         return p / (d * nseg * n_fft * wpow)
 
     in_spec = P(*([None] * (nd - 2) + [axis, None]))
