@@ -142,8 +142,8 @@ def pfb_channelize_frames(x, channels: int, taps=None,
     This is the fast entry for consumers whose upstream already holds
     frames (chunked streaming, sharded pipelines): the flat entry pays
     an XLA 1-D -> 2-D tiling relayout into the frame view that Mosaic
-    cannot absorb — measured ~16% of the config-5 row (BASELINE.md PFB
-    bullet: 0.167 ms frames-fed vs 0.199 ms flat).
+    cannot absorb — measured ~18% of the config-5 row (BASELINE.md PFB
+    bullet / r5 kernel-table rows: 0.163 ms frames-fed vs 0.199 flat).
     """
     xc = as_complex_array(x)
     if xc.real.ndim < 2 or xc.real.shape[-1] != channels:

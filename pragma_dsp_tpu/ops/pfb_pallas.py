@@ -232,7 +232,7 @@ def pfb_channelize_pallas(x: ComplexArray, taps, channels: int,
     Requires C a power of two >= 128. taps may be a traced array.
 
     The flat-stream entry pays one XLA relayout pass (the 1-D -> 2-D
-    tiling cast into the (M, C) frame view — measured ~16% of the
+    tiling cast into the (M, C) frame view — measured ~18% of the
     config-5 row; Mosaic cannot absorb 1-D->2-D shape casts in VMEM).
     Callers whose upstream already holds (M, C)-shaped frames should
     use :func:`pfb_channelize_frames_pallas` and skip it.
@@ -260,7 +260,7 @@ def pfb_channelize_frames_pallas(x: ComplexArray, taps, channels: int,
 
     Identical numerics to :func:`pfb_channelize_pallas` on the
     flattened stream; fed with frames it skips the 1-D -> 2-D tiling
-    relayout XLA inserts for flat input (round-4 bisect: 0.167 ms
+    relayout XLA inserts for flat input (r5 captured rows: 0.163 ms
     frames-fed vs 0.199 ms flat at config-5 scale).
     """
     c = channels

@@ -208,6 +208,24 @@ def resample_poly(x, up: int, down: int, taps=None,
     return upfirdn(x, taps, up, down, precision)
 
 
+def _cascade_stages(factors, taps, taps_per_phase: int):
+    """Normalise a cascade spec into [(up, down, taps)] — the ONE place
+    the gcd reduction and default per-stage design live, shared by the
+    batch, stream-init, and step paths so they cannot diverge."""
+    if taps is not None and len(taps) != len(factors):
+        raise ValueError(
+            f"taps list length {len(taps)} != {len(factors)} stages")
+    stages = []
+    for i, (up, down) in enumerate(factors):
+        g = math.gcd(up, down)
+        up //= g
+        down //= g
+        h = taps[i] if taps is not None else resampler_taps(
+            up, down, taps_per_phase * max(up, down) + 1)
+        stages.append((up, down, h))
+    return stages
+
+
 def resample_poly_cascade(x, factors, taps=None, taps_per_phase: int = 8,
                           precision: Optional[str] = None) -> Array:
     """Multi-stage rational resampler: ``factors`` is a list of
@@ -232,16 +250,8 @@ def resample_poly_cascade(x, factors, taps=None, taps_per_phase: int = 8,
     ``taps`` (optional) is a list of per-stage tap arrays overriding
     the default designs.
     """
-    if taps is not None and len(taps) != len(factors):
-        raise ValueError(
-            f"taps list length {len(taps)} != {len(factors)} stages")
     y = x
-    for i, (up, down) in enumerate(factors):
-        g = math.gcd(up, down)
-        up //= g
-        down //= g
-        h = taps[i] if taps is not None else resampler_taps(
-            up, down, taps_per_phase * max(up, down) + 1)
+    for up, down, h in _cascade_stages(factors, taps, taps_per_phase):
         y = upfirdn(y, h, up, down, precision)
     return y
 
@@ -338,15 +348,9 @@ def resample_cascade_stream_init(factors, taps=None,
                                  ) -> CascadeState:
     """Zero streaming state for :func:`resample_poly_cascade` (same
     per-stage tap defaults)."""
-    states = []
-    for i, (up, down) in enumerate(factors):
-        g = math.gcd(up, down)
-        up //= g
-        down //= g
-        h = taps[i] if taps is not None else resampler_taps(
-            up, down, taps_per_phase * max(up, down) + 1)
-        states.append(upfirdn_stream_init(h, up, down, batch_shape, dtype))
-    return CascadeState(stages=tuple(states))
+    return CascadeState(stages=tuple(
+        upfirdn_stream_init(h, up, down, batch_shape, dtype)
+        for up, down, h in _cascade_stages(factors, taps, taps_per_phase)))
 
 
 def resample_cascade_step(state: CascadeState, chunk, factors, taps=None,
@@ -363,12 +367,8 @@ def resample_cascade_step(state: CascadeState, chunk, factors, taps=None,
             f"multiple of the cascade quantum {q}")
     y = chunk
     new_states = []
-    for i, (up, down) in enumerate(factors):
-        g = math.gcd(up, down)
-        up //= g
-        down //= g
-        h = taps[i] if taps is not None else resampler_taps(
-            up, down, taps_per_phase * max(up, down) + 1)
+    for i, (up, down, h) in enumerate(
+            _cascade_stages(factors, taps, taps_per_phase)):
         st, y = upfirdn_step(state.stages[i], y, h, up, down)
         new_states.append(st)
     return CascadeState(stages=tuple(new_states)), y

@@ -111,7 +111,18 @@ def sharded_fir_filter(x, taps, mesh: Mesh, axis="x",
     """
     taps = jnp.asarray(taps)
     k = int(taps.shape[0])
+
+    def _check(length):
+        lloc = length // _extent(mesh, axis)
+        if lloc < k - 1:
+            # the halo slice would clamp and return silently wrong values
+            raise ValueError(
+                f"per-device block {lloc} must cover the K-1 = {k - 1}"
+                "-sample filter history; use fewer devices or longer "
+                "blocks")
+
     if isinstance(x, ComplexArray):
+        _check(x.real.shape[-1])
         nd = x.real.ndim
         fn = _build_sharded_fir(mesh, axis, k, nd, method, True)
         ore, oim = fn(x.real, x.imag, taps)
@@ -120,6 +131,7 @@ def sharded_fir_filter(x, taps, mesh: Mesh, axis="x",
     if jnp.iscomplexobj(x):
         return sharded_fir_filter(ComplexArray(x.real, x.imag), taps, mesh,
                                   axis, method)
+    _check(x.shape[-1])
     fn = _build_sharded_fir(mesh, axis, k, x.ndim, method, False)
     return fn(x, taps)
 
@@ -179,6 +191,12 @@ def sharded_spectrogram(x, n_fft: int, hop: Optional[int] = None,
     hop = hop if hop is not None else n_fft // 4
     x = jnp.asarray(x)
     d = _extent(mesh, axis)
+    if x.shape[-1] // d < n_fft - hop:
+        # the right-neighbour halo slice would clamp silently
+        raise ValueError(
+            f"per-device block {x.shape[-1] // d} must cover the "
+            f"n_fft - hop = {n_fft - hop}-sample frame overlap; use "
+            "fewer devices or longer blocks")
     if (x.shape[-1] // d) % hop != 0:
         raise ValueError(
             f"local block {x.shape[-1] // d} must be a multiple of hop {hop}")
@@ -256,10 +274,35 @@ def sharded_pfb_channelize(x, channels: int, taps=None,
         taps = pfb_taps(channels, taps_per_branch)
     taps = jnp.asarray(np.asarray(taps, dtype=np.float64))
     t_taps = -(-int(taps.shape[0]) // channels)
+    d = _extent(mesh, axis)
+    lloc = xc.real.shape[-1] // d
+    if lloc % channels != 0:
+        raise ValueError(
+            f"per-device block {lloc} must be a multiple of "
+            f"channels={channels}")
+    if lloc < (t_taps - 1) * channels:
+        # the halo slice would clamp and return silently wrong values
+        raise ValueError(
+            f"per-device block {lloc} must cover the "
+            f"{(t_taps - 1) * channels}-sample branch history "
+            f"(T={t_taps} taps/branch); use fewer devices or longer "
+            "blocks")
     fn = _build_sharded_pfb(mesh, axis, channels, t_taps, taps_per_branch,
                             xc.real.ndim, channels_sharded_out)
     ore, oim = fn(xc.real, xc.imag, taps)
     return ComplexArray(ore, oim)
+
+
+def _check_pfb_frames_block(xc, mesh, axis, t_taps):
+    """The (T-1)-frame halo slice clamps silently when a shard holds
+    fewer frames than the branch history — reject instead."""
+    d = _extent(mesh, axis)
+    mloc = xc.real.shape[-2] // d
+    if mloc < t_taps - 1:
+        raise ValueError(
+            f"per-device frame count {mloc} must cover the "
+            f"{t_taps - 1}-frame branch history (T={t_taps} "
+            "taps/branch); use fewer devices or more frames")
 
 
 def _pfb_frames_local(xr, xi, taps, *, mesh, axis, d, hist, channels,
@@ -340,6 +383,7 @@ def sharded_pfb_channelize_frames(x, channels: int, taps=None,
         taps = pfb_taps(channels, taps_per_branch)
     taps = jnp.asarray(np.asarray(taps, dtype=np.float64))
     t_taps = -(-int(taps.shape[0]) // channels)
+    _check_pfb_frames_block(xc, mesh, axis, t_taps)
     fn = _build_sharded_pfb_frames(mesh, axis, channels, t_taps,
                                    taps_per_branch, xc.real.ndim,
                                    channels_sharded_out)
@@ -426,6 +470,7 @@ def sharded_channel_power(x, channels: int, taps=None,
         taps = pfb_taps(channels, taps_per_branch)
     taps = jnp.asarray(np.asarray(taps, dtype=np.float64))
     t_taps = -(-int(taps.shape[0]) // channels)
+    _check_pfb_frames_block(xc, mesh, axis, t_taps)
     d = _extent(mesh, axis)
     mloc = xc.real.shape[-2] // d
     if mloc % n_fft != 0:
@@ -495,27 +540,29 @@ def sharded_upfirdn(x, taps, up: int = 1, down: int = 1, *, mesh: Mesh,
     from ..ops.polyphase import _upfirdn_history
 
     d = _extent(mesh, axis)
-    if isinstance(x, ComplexArray) or (
-            not isinstance(x, ComplexArray) and jnp.iscomplexobj(x)):
-        xc = as_complex_array(x)
-        lloc = xc.real.shape[-1] // d
-        if (lloc * up) % down != 0:
-            raise ValueError(
-                f"per-device block {lloc} must satisfy block*{up} % "
-                f"{down} == 0")
-        fn = _build_sharded_upfirdn(mesh, axis, taps_np.tobytes(), k, up,
-                                    down, xc.real.ndim, True)
-        ore, oim = fn(xc.real, xc.imag)
-        return ComplexArray(ore, oim)
-    x = jnp.asarray(x)
-    lloc = x.shape[-1] // d
+    is_complex = isinstance(x, ComplexArray) or jnp.iscomplexobj(x)
+    xc = as_complex_array(x) if is_complex else None
+    length = (xc.real if is_complex else jnp.asarray(x)).shape[-1]
+    lloc = length // d
     if (lloc * up) % down != 0:
         raise ValueError(
             f"per-device block {lloc} must satisfy block*{up} % "
             f"{down} == 0")
+    hist = _upfirdn_history(k, up, down)
+    if lloc < hist:
+        # The halo slice would clamp and return silently wrong values.
+        raise ValueError(
+            f"per-device block {lloc} must cover the {hist}-sample "
+            f"quantum-aligned filter history (len(taps)={k}, up={up}, "
+            f"down={down}); use fewer devices or longer blocks")
+    if is_complex:
+        fn = _build_sharded_upfirdn(mesh, axis, taps_np.tobytes(), k, up,
+                                    down, xc.real.ndim, True)
+        ore, oim = fn(xc.real, xc.imag)
+        return ComplexArray(ore, oim)
     fn = _build_sharded_upfirdn(mesh, axis, taps_np.tobytes(), k, up,
-                                down, x.ndim, False)
-    return fn(x)
+                                down, jnp.asarray(x).ndim, False)
+    return fn(jnp.asarray(x))
 
 
 def sharded_resample_poly(x, up: int, down: int, taps=None,

@@ -747,3 +747,34 @@ def test_sharded_upfirdn_validates_block(mesh):
     with pytest.raises(ValueError, match="block"):
         sharded_upfirdn(jnp.zeros(8 * 100), np.ones(9), 147, 160,
                         mesh=mesh)
+
+
+def test_sharded_halo_coverage_guards(mesh):
+    """Per-device blocks shorter than the halo history must raise, not
+    silently clamp the halo slice (round-5 review finding, verified to
+    return wrong values before the guard)."""
+    from pragma_dsp_tpu.ops.polyphase import resampler_taps
+    from pragma_dsp_tpu.parallel import (sharded_channel_power,
+                                         sharded_pfb_channelize_frames,
+                                         sharded_upfirdn)
+
+    # upfirdn decimator: hist(1177 taps, up=1) = 1176 > 64-sample blocks
+    taps = resampler_taps(1, 4, 1177)
+    with pytest.raises(ValueError, match="history"):
+        sharded_upfirdn(jnp.zeros(8 * 64), taps, 1, 4, mesh=mesh)
+    # FIR: K-1 = 126 > 64-sample blocks
+    with pytest.raises(ValueError, match="history"):
+        sharded_fir_filter(jnp.zeros(8 * 64), jnp.ones(127), mesh)
+    # spectrogram: overlap 96 > 64-sample blocks
+    with pytest.raises(ValueError, match="overlap"):
+        sharded_spectrogram(jnp.zeros(8 * 64), 128, 32, mesh=mesh)
+    # PFB frames: T-1 = 7 > 4 frames/device
+    fr = ComplexArray(jnp.zeros((8 * 4, 32)), jnp.zeros((8 * 4, 32)))
+    with pytest.raises(ValueError, match="branch history"):
+        sharded_pfb_channelize_frames(fr, 32, mesh=mesh)
+    with pytest.raises(ValueError, match="branch history"):
+        sharded_channel_power(fr, 32, mesh=mesh, n_fft=4)
+    # PFB flat: (T-1)*C = 224 > 32*4 = 128 samples/device
+    flat = ComplexArray(jnp.zeros(8 * 128), jnp.zeros(8 * 128))
+    with pytest.raises(ValueError, match="branch history"):
+        sharded_pfb_channelize(flat, 32, mesh=mesh)
