@@ -42,17 +42,34 @@ class ComplexArray(_ComplexArrayFields):
     """
 
     def __new__(cls, real, imag):
-        # Tolerant check: pytree unflattening may pass non-array
-        # placeholders (no dtype attribute) — only a *complex dtype* is an
-        # error, because split planes with complex planes are always a bug.
+        # Tolerant checks: pytree unflattening may pass non-array
+        # placeholders (no dtype/shape attribute) — only a dtype or shape
+        # that is PRESENT and wrong is an error, because complex-dtype,
+        # integer, or shape-mismatched planes are always a bug (silent
+        # wrong answers downstream: int planes truncate the twiddle
+        # products, complex planes drop half the data).
         for name, p in (("real", real), ("imag", imag)):
             dt = getattr(p, "dtype", None)
-            if dt is not None and jnp.issubdtype(dt, jnp.complexfloating):
+            if dt is None:
+                continue
+            if jnp.issubdtype(dt, jnp.complexfloating):
                 raise TypeError(
                     f"ComplexArray.{name} plane has complex dtype {dt}; "
                     "planes must be real. Pass the complex array through "
                     "as_complex_array() (it splits complex-dtype input "
                     "into real/imag planes).")
+            if not jnp.issubdtype(dt, jnp.floating):
+                raise TypeError(
+                    f"ComplexArray.{name} plane has non-float dtype {dt}; "
+                    "integer/bool planes silently truncate twiddle "
+                    "products. Pass the input through as_complex_array() "
+                    "(it coerces to the default float dtype).")
+        sr = getattr(real, "shape", None)
+        si = getattr(imag, "shape", None)
+        if sr is not None and si is not None and tuple(sr) != tuple(si):
+            raise TypeError(
+                f"ComplexArray plane shapes differ: real {tuple(sr)} vs "
+                f"imag {tuple(si)}")
         return super().__new__(cls, real, imag)
 
     @property
@@ -106,8 +123,17 @@ def as_complex_array(x, dtype=None) -> ComplexArray:
     """
     if isinstance(x, ComplexArray):
         return x
+
+    def plane(a):
+        a = jnp.asarray(a, dtype=dtype)
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            # int/bool input computes garbage downstream (truncated
+            # twiddle products); coerce to the default float dtype.
+            a = a.astype(jnp.result_type(float))
+        return a
+
     if isinstance(x, tuple) and len(x) == 2 and not isinstance(x[0], (int, float)):
-        return ComplexArray(jnp.asarray(x[0], dtype=dtype), jnp.asarray(x[1], dtype=dtype))
+        return ComplexArray(plane(x[0]), plane(x[1]))
     if isinstance(x, np.ndarray) and np.iscomplexobj(x):
         return ComplexArray.from_numpy_complex(x, dtype=dtype)
     if jnp.iscomplexobj(x):
@@ -117,7 +143,7 @@ def as_complex_array(x, dtype=None) -> ComplexArray:
         if dtype is not None:
             re, im = re.astype(dtype), im.astype(dtype)
         return ComplexArray(re, im)
-    re = jnp.asarray(x, dtype=dtype)
+    re = plane(x)
     return ComplexArray(re, jnp.zeros_like(re))
 
 

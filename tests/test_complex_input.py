@@ -184,3 +184,33 @@ def test_sharded_fir_jnp_complex(mesh):
     assert isinstance(out, ComplexArray)
     np.testing.assert_allclose(out.real, want.real, atol=1e-10)
     np.testing.assert_allclose(out.imag, want.imag, atol=1e-10)
+
+
+# ── integer / bool / mismatched-plane inputs (round-5 hardening: the
+#    same silent-wrong-answer class as the complex-dtype bug) ──
+
+
+def test_fft_integer_input_matches_numpy():
+    # int planes used to truncate the twiddle products: fft(arange(8))
+    # returned [-4+4j, ...] instead of [-4+9.657j, ...].
+    got = ops.fft(jnp.arange(8)).to_numpy_complex()
+    np.testing.assert_allclose(got, np.fft.fft(np.arange(8)), atol=1e-6)
+
+
+def test_as_complex_array_coerces_int_and_bool():
+    ca = as_complex_array(jnp.arange(4))
+    assert jnp.issubdtype(ca.dtype, jnp.floating)
+    ca = as_complex_array(np.asarray([True, False]))
+    assert jnp.issubdtype(ca.dtype, jnp.floating)
+    ca = as_complex_array((np.arange(4), np.arange(4)))
+    assert jnp.issubdtype(ca.dtype, jnp.floating)
+
+
+def test_complex_array_rejects_int_planes():
+    with pytest.raises(TypeError, match="non-float"):
+        ComplexArray(jnp.arange(4), jnp.zeros(4))
+
+
+def test_complex_array_rejects_mismatched_shapes():
+    with pytest.raises(TypeError, match="shapes differ"):
+        ComplexArray(jnp.zeros(4), jnp.zeros(8))
