@@ -147,6 +147,22 @@ def as_complex_array(x, dtype=None) -> ComplexArray:
     return ComplexArray(re, jnp.zeros_like(re))
 
 
+def ensure_float(x) -> Array:
+    """Coerce array-like input to a floating dtype (default float for
+    int/bool input; floating dtypes pass through unchanged).
+
+    The boundary guard for real-signal entry points: several hot paths
+    cast taps/windows to the INPUT's dtype for mixed-precision control,
+    so an integer signal would silently zero the filter (observed:
+    fir_filter(arange(64)) returned all zeros; spectrogram of an int
+    ramp returned amplitude 0.0). Same bug class as the complex-dtype
+    fix — validate-or-coerce, never garbage."""
+    a = jnp.asarray(x)
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        a = a.astype(jnp.result_type(float))
+    return a
+
+
 def is_power_of_two(n: int) -> bool:
     """Parity: ``isPowerOfTwo`` (reference src/core/fft.ts:16)."""
     return n > 0 and (n & (n - 1)) == 0

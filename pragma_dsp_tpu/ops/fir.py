@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.complex import Array, ComplexArray, as_complex_array, next_power_of_two
+from ..core.complex import (Array, ComplexArray, as_complex_array,
+                            ensure_float, next_power_of_two)
 from .dispatch import fft as _fft, get_fft_impl, ifft as _ifft
 
 __all__ = ["fir_filter", "FirState", "fir_stream_init", "fir_step",
@@ -63,6 +64,7 @@ def fir_filter(x, taps, method: str = "auto",
     if jnp.iscomplexobj(x):
         return ComplexArray(fir_filter(x.real, taps, method, precision),
                             fir_filter(x.imag, taps, method, precision))
+    x = ensure_float(x)     # int input would cast the taps to int below
     k = taps.shape[0]
     if method == "auto":
         method = "overlap_save" if k >= 64 and x.shape[-1] >= 4 * k else "direct"
@@ -83,7 +85,7 @@ def overlap_save_filter(x: Array, taps: Array,
     ppermute when time-blocks are sharded). N defaults to the power of
     two >= 8K, a good FFT/overlap balance.
     """
-    x = jnp.asarray(x)
+    x = ensure_float(x)     # taps are cast to x.dtype below
     taps = jnp.asarray(taps, dtype=x.dtype)
     k = taps.shape[0]
     length = x.shape[-1]

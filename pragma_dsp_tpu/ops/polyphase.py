@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.complex import Array, ComplexArray, as_complex_array
+from ..core.complex import (Array, ComplexArray, as_complex_array,
+                            ensure_float)
 
 __all__ = ["upfirdn", "resample_poly", "resample_poly_cascade",
            "decimate", "interpolate",
@@ -160,6 +161,7 @@ def _upfirdn_banded(x: Array, h: Array, up: int, down: int,
 
 def _upfirdn_real(x: Array, h, up: int, down: int,
                   precision: Optional[str] = None) -> Array:
+    x = ensure_float(x)     # the banded matrix is cast to x.dtype below
     if up == 1 and down == 1:
         return _upfirdn_conv(x, jnp.asarray(h), 1, 1)
     try:

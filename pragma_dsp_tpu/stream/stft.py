@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.complex import Array, ComplexArray
+from ..core.complex import Array, ComplexArray, ensure_float
 from ..ops.dispatch import fft as _fft
 from ..public.spectrum import (
     SpectrumResult,
@@ -67,7 +67,8 @@ def stft(x: Array, n_fft: int, hop: Optional[int] = None,
     before the FFT. hop defaults to n_fft//4 (75% overlap, config 2).
     """
     hop = hop if hop is not None else n_fft // 4
-    frames = frame_signal(x, n_fft, hop)
+    # int input would poison the window/FFT dtypes downstream
+    frames = frame_signal(ensure_float(x), n_fft, hop)
     win = create_window(window, n_fft, dtype=frames.dtype)
     return _fft(frames * win)
 
@@ -166,7 +167,7 @@ def spectrogram_amplitude(x: Array, n_fft: int, hop: Optional[int] = None,
                                   spectrum_amplitude_pallas)
 
     hop = hop if hop is not None else n_fft // 4
-    x = jnp.asarray(x)
+    x = ensure_float(x)
     if x.shape[-1] < n_fft:
         raise ValueError(
             f"signal length {x.shape[-1]} < frame_size {n_fft}")
@@ -191,7 +192,7 @@ def spectrogram(x: Array, n_fft: int, hop: Optional[int] = None,
     from ..public.spectrum import _use_fused_one_sided
 
     hop = hop if hop is not None else n_fft // 4
-    probe = jnp.asarray(x)
+    x = probe = ensure_float(x)
     if _use_fused_one_sided(probe, n_fft, sides):
         from ..ops.fft_pallas import (framed_spectrum_amp_phase_pallas,
                                       spectrum_amp_phase_pallas)

@@ -214,3 +214,37 @@ def test_complex_array_rejects_int_planes():
 def test_complex_array_rejects_mismatched_shapes():
     with pytest.raises(TypeError, match="shapes differ"):
         ComplexArray(jnp.zeros(4), jnp.zeros(8))
+
+
+def test_real_dsp_entries_coerce_integer_input():
+    """fir_filter / overlap_save / upfirdn / stft / spectrogram used to
+    cast taps and windows to the INPUT dtype, so integer signals
+    silently zeroed the filters (fir_filter(arange) returned all
+    zeros, spectrogram amplitude read 0.0). Each entry now coerces."""
+    from pragma_dsp_tpu.ops import overlap_save_filter, upfirdn
+    from pragma_dsp_tpu.stream import spectrogram, stft
+
+    x = np.arange(64)
+    taps = sps.firwin(9, 0.3)
+    np.testing.assert_allclose(
+        np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps))),
+        sps.lfilter(taps, 1.0, x.astype(float)), atol=1e-9)
+    got = np.asarray(upfirdn(jnp.asarray(x), taps, 3, 4))
+    ref = sps.upfirdn(taps, x.astype(float), 3, 4)
+    m = min(len(got), len(ref))
+    np.testing.assert_allclose(got[:m], ref[:m], atol=1e-9)
+    x2 = np.arange(2048)
+    t127 = sps.firwin(127, 0.2)
+    np.testing.assert_allclose(
+        np.asarray(overlap_save_filter(jnp.asarray(x2),
+                                       jnp.asarray(t127))),
+        sps.lfilter(t127, 1.0, x2.astype(float)), atol=1e-8)
+    xi = np.arange(512)
+    ri = spectrogram(jnp.asarray(xi), 128, 32, "hann")
+    rf = spectrogram(jnp.asarray(xi, jnp.float64), 128, 32, "hann")
+    np.testing.assert_array_equal(np.asarray(ri.amplitude),
+                                  np.asarray(rf.amplitude))
+    si = stft(jnp.asarray(xi), 128, 32)
+    sf = stft(jnp.asarray(xi, jnp.float64), 128, 32)
+    np.testing.assert_array_equal(np.asarray(si.real),
+                                  np.asarray(sf.real))
