@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.complex import Array, ComplexArray, as_complex_array
+from ..core.complex import (Array, ComplexArray, as_complex_array,
+                            ensure_float)
 
 __all__ = ["am_demod", "fm_discriminate", "iir_one_pole", "deemphasis",
            "FmDemodState", "fm_stream_init", "fm_discriminate_step"]
@@ -68,7 +69,7 @@ def iir_one_pole(x: Array, alpha, y0=0.0) -> Array:
     0.54 ms for 0.42M samples vs ~0.1 ms blocked). Traced ``alpha``
     falls back to the element associative scan. 141 dB SNR vs the f64
     scipy.lfilter reference either way."""
-    x = jnp.asarray(x)
+    x = ensure_float(x)     # int x would cast alpha to int below
     try:
         a_np = float(np.asarray(alpha))
     except Exception:

@@ -174,7 +174,7 @@ def fir_stream_init(taps, batch_shape: Tuple[int, ...] = (),
 def fir_step(state: FirState, chunk: Array, taps) -> Tuple[FirState, Array]:
     """Filter one chunk; exactly matches the batch fir_filter result over
     the concatenated stream."""
-    chunk = jnp.asarray(chunk)
+    chunk = ensure_float(chunk)   # int chunk would cast the taps to int
     taps = jnp.asarray(taps, dtype=chunk.dtype)
     k = taps.shape[0]
     buf = jnp.concatenate([state.tail, chunk], axis=-1)

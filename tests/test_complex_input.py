@@ -248,3 +248,19 @@ def test_real_dsp_entries_coerce_integer_input():
     sf = stft(jnp.asarray(xi, jnp.float64), 128, 32)
     np.testing.assert_array_equal(np.asarray(si.real),
                                   np.asarray(sf.real))
+
+
+def test_streaming_entries_coerce_integer_input():
+    from pragma_dsp_tpu.ops import fir_step, fir_stream_init, iir_one_pole
+
+    taps = sps.firwin(9, 0.3)
+    st = fir_stream_init(taps)
+    st, y = fir_step(st, jnp.arange(32), taps)
+    np.testing.assert_allclose(
+        np.asarray(y), sps.lfilter(taps, 1.0, np.arange(32).astype(float)),
+        atol=1e-9)
+    a = 0.9
+    np.testing.assert_allclose(
+        np.asarray(iir_one_pole(jnp.arange(64), a)),
+        sps.lfilter([1 - a], [1, -a], np.arange(64).astype(float)),
+        atol=1e-9)
