@@ -123,14 +123,17 @@ def as_complex_array(x, dtype=None) -> ComplexArray:
     """
     if isinstance(x, ComplexArray):
         return x
+    if dtype is not None and not jnp.issubdtype(jnp.dtype(dtype),
+                                                jnp.floating):
+        raise TypeError(
+            f"ComplexArray planes must be floating; requested dtype "
+            f"{jnp.dtype(dtype)}")
 
     def plane(a):
-        a = jnp.asarray(a, dtype=dtype)
-        if not jnp.issubdtype(a.dtype, jnp.floating):
-            # int/bool input computes garbage downstream (truncated
-            # twiddle products); coerce to the default float dtype.
-            a = a.astype(jnp.result_type(float))
-        return a
+        # int/bool coerces to the default float dtype (garbage twiddle
+        # products otherwise); a complex-dtype PLANE passes through so
+        # the ComplexArray constructor rejects it loudly.
+        return ensure_float(jnp.asarray(a, dtype=dtype))
 
     if isinstance(x, tuple) and len(x) == 2 and not isinstance(x[0], (int, float)):
         return ComplexArray(plane(x[0]), plane(x[1]))
@@ -148,8 +151,11 @@ def as_complex_array(x, dtype=None) -> ComplexArray:
 
 
 def ensure_float(x) -> Array:
-    """Coerce array-like input to a floating dtype (default float for
-    int/bool input; floating dtypes pass through unchanged).
+    """Coerce int/bool array-like input to the default float dtype;
+    floating AND complex dtypes pass through unchanged (complex input
+    keeps flowing to the caller's own complex handling — truncating it
+    here would be the silent-corruption class this guard exists to
+    stop).
 
     The boundary guard for real-signal entry points: several hot paths
     cast taps/windows to the INPUT's dtype for mixed-precision control,
@@ -158,7 +164,8 @@ def ensure_float(x) -> Array:
     ramp returned amplitude 0.0). Same bug class as the complex-dtype
     fix — validate-or-coerce, never garbage."""
     a = jnp.asarray(x)
-    if not jnp.issubdtype(a.dtype, jnp.floating):
+    if (not jnp.issubdtype(a.dtype, jnp.floating)
+            and not jnp.issubdtype(a.dtype, jnp.complexfloating)):
         a = a.astype(jnp.result_type(float))
     return a
 

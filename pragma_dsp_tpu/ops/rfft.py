@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.complex import Array, ComplexArray, as_complex_array, is_power_of_two
+from ..core.complex import (Array, ComplexArray, as_complex_array,
+                            ensure_float, is_power_of_two)
 from .dispatch import fft as _fft, ifft as _ifft
 
 __all__ = ["rfft", "irfft"]
@@ -47,7 +48,7 @@ def rfft(x, axis: int = -1, impl: Optional[str] = None) -> ComplexArray:
 
     Cost: one complex FFT of size n/2 plus an elementwise untangle.
     """
-    x = jnp.asarray(x)
+    x = ensure_float(x)     # int input would cast the twiddles to int
     ax = axis % x.ndim
     x = jnp.moveaxis(x, ax, -1)
     n = x.shape[-1]

@@ -264,3 +264,43 @@ def test_streaming_entries_coerce_integer_input():
         np.asarray(iir_one_pole(jnp.arange(64), a)),
         sps.lfilter([1 - a], [1, -a], np.arange(64).astype(float)),
         atol=1e-9)
+
+
+def test_complex_input_still_flows_through_real_entries():
+    """Regression (round-5 review): ensure_float must NOT truncate
+    complex input — iir_one_pole and stft legitimately process complex
+    IQ, and the pre-guard behavior computed the true complex result."""
+    from pragma_dsp_tpu.ops import iir_one_pole
+    from pragma_dsp_tpu.stream import stft
+    from pragma_dsp_tpu.xform.fourier import window_values
+
+    iq = _complex_signal(256)
+    a = 0.9
+    y = np.asarray(iir_one_pole(jnp.asarray(iq), a))
+    assert np.iscomplexobj(y)
+    np.testing.assert_allclose(y, sps.lfilter([1 - a], [1, -a], iq),
+                               atol=1e-9)
+    s = stft(jnp.asarray(iq), 64, 16)
+    z = np.asarray(s.real) + 1j * np.asarray(s.imag)
+    wv = window_values("hann", 64)
+    frames = np.lib.stride_tricks.sliding_window_view(iq, 64)[::16]
+    np.testing.assert_allclose(z, np.fft.fft(frames * wv, axis=-1),
+                               atol=1e-9)
+
+
+def test_as_complex_array_tuple_complex_planes_raise():
+    with pytest.raises(TypeError, match="complex dtype"):
+        as_complex_array((np.array([1 + 2j]), np.array([3 + 4j])))
+
+
+def test_as_complex_array_rejects_non_float_dtype_request():
+    with pytest.raises(TypeError, match="must be floating"):
+        as_complex_array(np.arange(4.0), dtype=jnp.int32)
+
+
+def test_rfft_integer_input_matches_numpy():
+    from pragma_dsp_tpu.ops import rfft
+
+    got = rfft(jnp.arange(8))
+    z = np.asarray(got.real) + 1j * np.asarray(got.imag)
+    np.testing.assert_allclose(z, np.fft.rfft(np.arange(8)), atol=1e-6)
