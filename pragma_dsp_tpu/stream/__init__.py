@@ -12,6 +12,7 @@ from .stft import (
     stft,
     stft_step,
     stft_stream_init,
+    welch_psd,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "stft",
     "stft_step",
     "stft_stream_init",
+    "welch_psd",
 ]

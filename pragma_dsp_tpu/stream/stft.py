@@ -28,10 +28,11 @@ from ..public.spectrum import (
     scale_amplitude_one_sided,
     scale_amplitude_two_sided,
 )
-from ..xform.fourier import bin_frequencies, create_window, magnitude, phase
+from ..xform.fourier import (bin_frequencies, create_window,
+                             magnitude, phase, window_values)
 
 __all__ = ["frame_signal", "stft", "istft", "spectrogram", "StftState",
-           "stft_stream_init", "stft_step"]
+           "stft_stream_init", "stft_step", "welch_psd"]
 
 
 def frame_signal(x: Array, frame_size: int, hop: int) -> Array:
@@ -104,8 +105,6 @@ def istft(spec: ComplexArray, hop: int, window: str = "hann",
     for t in range(t_rows):
         acc = acc.at[..., t: t + n_frames, :].add(chunks[..., :, t, :])
     sig = acc.reshape(batch_shape + (total_rows * hop,))[..., :out_len]
-    from ..xform.fourier import window_values
-
     wnp = np.zeros(out_len)
     wsq_np = window_values(window, n_fft).astype(np.float64) ** 2
     for f in range(n_frames):
@@ -234,6 +233,37 @@ class StftState(NamedTuple):
     """Carry between streaming chunks: the last n_fft - hop input samples."""
 
     tail: Array
+
+
+def welch_psd(x, n_fft: int, hop: Optional[int] = None,
+              window: str = "hann", fs: float = 1.0) -> Array:
+    """Two-sided Welch power spectral density over the last axis.
+
+    Segments of ``n_fft`` samples at stride ``hop`` (default: no
+    overlap), windowed (sym=True formulas, the framework convention),
+    FFT'd, magnitude-squared, and averaged:
+
+        P[k] = mean_seg |FFT_k(w * x_seg)|^2 / (fs * sum(w^2))
+
+    — scipy.signal.welch(fs=fs, noverlap=n_fft-hop, detrend=False,
+    return_onesided=False, scaling='density') with the same window
+    values. Real or complex (split-plane / jnp.complex*) input; the
+    two-sided convention keeps one formula for both (SDR IQ is the
+    common case). The per-channel sharded variant is
+    ``parallel.sharded_channel_power``.
+    """
+    hop = hop if hop is not None else n_fft
+    from ..core.complex import as_complex_array
+
+    xc = as_complex_array(x)
+    fr = frame_signal(xc.real, n_fft, hop)
+    fi = frame_signal(xc.imag, n_fft, hop)
+    w = create_window(window, n_fft, dtype=fr.dtype)
+    spec = _fft(ComplexArray(fr * w, fi * w))
+    p = spec.real * spec.real + spec.imag * spec.imag
+    scale = float(fs) * float(np.sum(
+        np.asarray(window_values(window, n_fft), np.float64) ** 2))
+    return jnp.mean(p, axis=-2) / scale
 
 
 def stft_stream_init(n_fft: int, hop: int, batch_shape: Tuple[int, ...] = (),

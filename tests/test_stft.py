@@ -233,3 +233,63 @@ def test_fused_spectrogram_path_equivalence():
     d = np.angle(np.exp(1j * (np.asarray(ph, np.float64)
                               - np.asarray(ref.phase, np.float64))))[mask]
     assert np.abs(d).max() < 1e-4
+
+
+def test_welch_psd_matches_scipy_rect():
+    """rect window == scipy.welch boxcar exactly (density scaling,
+    two-sided, zero overlap, detrend off)."""
+    from scipy import signal as sps
+
+    from pragma_dsp_tpu.stream import welch_psd
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(4096)
+    n = 128
+    got = np.asarray(welch_psd(jnp.asarray(x), n, window="rect", fs=48e3))
+    _, ref = sps.welch(x, fs=48e3, window="boxcar", nperseg=n, noverlap=0,
+                       detrend=False, return_onesided=False,
+                       scaling="density")
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_welch_psd_overlap_and_window_oracle():
+    """hann (sym=True, the framework convention) + 50% overlap against
+    an explicit numpy oracle; complex IQ input."""
+    from pragma_dsp_tpu.stream import welch_psd
+    from pragma_dsp_tpu.xform.fourier import window_values
+
+    rng = np.random.default_rng(22)
+    z = rng.standard_normal(2048) + 1j * rng.standard_normal(2048)
+    n, hop = 256, 128
+    got = np.asarray(welch_psd(jnp.asarray(z), n, hop, "hann"))
+    w = window_values("hann", n)
+    nseg = 1 + (len(z) - n) // hop
+    segs = np.stack([z[i * hop:i * hop + n] for i in range(nseg)])
+    ref = (np.abs(np.fft.fft(segs * w, axis=-1)) ** 2).mean(0) \
+        / np.sum(w ** 2)
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_welch_psd_is_channel_power_per_channel():
+    """parallel.sharded_channel_power == welch_psd applied per channel
+    of the channelizer output (fs = n_fft matches its normalisation)."""
+    import jax
+
+    from pragma_dsp_tpu.core import ComplexArray
+    from pragma_dsp_tpu.ops.channelizer import pfb_channelize_frames
+    from pragma_dsp_tpu.parallel import data_mesh, sharded_channel_power
+    from pragma_dsp_tpu.stream import welch_psd
+
+    rng = np.random.default_rng(23)
+    c, n_fft = 32, 8
+    m = 8 * n_fft * 2
+    z = rng.standard_normal((m, c)) + 1j * rng.standard_normal((m, c))
+    xc = ComplexArray(jnp.asarray(z.real), jnp.asarray(z.imag))
+    pw = np.asarray(sharded_channel_power(xc, c, mesh=data_mesh(8),
+                                          n_fft=n_fft, window="hann"))
+    y = pfb_channelize_frames(xc, c)
+    for ch in (0, 7, 31):
+        zc = np.asarray(y.real[:, ch]) + 1j * np.asarray(y.imag[:, ch])
+        ref = np.asarray(welch_psd(jnp.asarray(zc), n_fft, window="hann",
+                                   fs=float(n_fft)))
+        np.testing.assert_allclose(pw[:, ch], ref, rtol=1e-7)
